@@ -1,0 +1,124 @@
+"""Configuration dataclasses for spokennlp_tpu.
+
+One config stack replaces the reference's per-project argument schemas
+(reference: emnlp2023-topic_segmentation/src/arguments.py:6-259,
+mmvts/src/arguments.py, action-item-detection/script/run_classifier.py:42-210).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Architecture config for the shared transformer trunk.
+
+    ``attention_type`` selects the token mixer:
+      - "dense":           full bidirectional attention (BERT/ELECTRA/StructBERT)
+      - "sliding_window":  local window + global-token attention (Longformer-style;
+                           reference: longformer_for_ts.py:55-58)
+      - "ponet":           PoNet multi-granularity pooling mixer (arXiv 2110.02442;
+                           interface per alimeeting4mug/src/models/modeling_ponet.py:52)
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    hidden_act: str = "gelu"
+    pad_token_id: int = 0
+    attention_type: str = "dense"
+    # sliding-window attention (Longformer-style)
+    attention_window: int = 512  # one-sided window is attention_window // 2
+    # ponet
+    ponet_local_window: int = 3
+    # embedding variant: "absolute" learned positions (BERT family)
+    position_embedding_type: str = "absolute"
+    # whether a pooler (CLS tanh dense) exists — needed for sequence classification
+    add_pooler: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class TopicSegConfig:
+    """Task config for coherence-enhanced topic segmentation.
+
+    Mirrors the knobs of the reference LossCalculator/CSSL/TSSP stack
+    (reference: emnlp2023-topic_segmentation/src/models/modules/{loss_calculator,
+    cssl,tssp,utils}.py) without copying its architecture.
+    """
+
+    num_labels: int = 2  # label 0 = B-EOP (topic boundary), 1 = O
+    num_tssp_labels: int = 3
+    ts_score_predictor: str = "lt"  # "lt" linear head | "cos" adjacent-eop cosine
+    ts_score_predictor_cos_temp: float = 1.0
+    ts_loss_weight: float = 1.0
+    cl_loss_weight: float = 0.5
+    tssp_loss_weight: float = 1.0
+    cl_temp: float = 0.1
+    cl_anchor_level: str = "eop_list"  # eop_matrix | eop_list | eot_list
+    cl_positive_k: int = 1
+    cl_negative_k: int = 1
+    focal_loss_gamma: float = 0.0
+    weight_label_zero: float = 0.5  # CE class weight on label 0; 0.5 = unweighted
+    do_da_ts: bool = False  # run the DA view through the encoder with ts loss
+    do_tssp: bool = False
+    tssp_ablation: str = "none"
+    classifier_dropout: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowingConfig:
+    """Self-adaptive sliding-window featurization config.
+
+    Reference semantics: emnlp2023-topic_segmentation/src/
+    ts_sentence_seq_labeling.py:814-918 (window loop, overlap rule).
+    """
+
+    max_seq_length: int = 512
+    cls_token_id: int = 101
+    pad_token_id: int = 0
+    bos_token_id: int = 1  # [BOS] sentence marker prepended to every sentence
+    label_eop: int = 0  # B-EOP
+    label_o: int = 1  # O
+    ignore_id: int = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.01
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    warmup_ratio: float = 0.0
+    num_train_epochs: float = 5.0
+    per_device_batch_size: int = 2
+    gradient_accumulation_steps: int = 4
+    max_grad_norm: float = 1.0
+    seed: int = 42
+    dtype: str = "bfloat16"  # compute dtype; params stay float32
+    log_every: int = 50
+    eval_cnt: int = 5  # number of evals over training (reference eval_steps calc)
+    checkpoint_dir: Optional[str] = None
+    save_total_limit: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. data axis = DP, model axis = TP (optional >1)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1

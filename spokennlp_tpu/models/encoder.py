@@ -1,0 +1,246 @@
+"""Shared transformer encoder trunk (Flax Linen), TPU-first.
+
+One trunk serves the whole encoder zoo of the reference repo — BERT, ELECTRA,
+StructBERT (dense attention), Longformer (sliding-window + global attention),
+and PoNet (pooling mixer) — selected by ``EncoderConfig.attention_type``.
+The reference instead wraps seven separate HF/ModelScope model classes
+(reference: emnlp2023-topic_segmentation/src/models/*.py:19-120,
+alimeeting4mug/src/models/modeling_ponet.py:34-119).
+
+TPU design notes:
+  - fused QKV projection: one (H, 3H) matmul feeds the MXU instead of three
+    (H, H) matmuls.
+  - compute dtype is configurable (bfloat16 by default in training); params
+    stay float32.
+  - static shapes everywhere; attention masks are additive biases so XLA can
+    fuse them into the softmax.
+  - layers are unrolled Python loops (12-24 layers) — XLA pipelines them; no
+    data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from spokennlp_tpu.configs import EncoderConfig
+from spokennlp_tpu.ops.sliding_attention import sliding_window_attention_mask_bias
+
+Array = jax.Array
+
+ACT2FN = {
+    "gelu": nn.gelu,
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+    "relu": nn.relu,
+    "silu": nn.silu,
+}
+
+NEG_INF = -1e9  # large-negative additive mask; safe in bf16/fp32 softmax
+
+
+@dataclasses.dataclass
+class EncoderOutput:
+    last_hidden_state: Array  # (B, L, H)
+    pooled_output: Optional[Array] = None  # (B, H) tanh(W @ h_cls)
+    hidden_states: Optional[tuple] = None  # per-layer (B, L, H), incl. embeddings
+    attentions: Optional[tuple] = None  # per-layer (B, nh, L, L) probs (dense only)
+
+
+class Embeddings(nn.Module):
+    """Word + absolute-position + token-type embeddings, LayerNorm, dropout."""
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Array,
+        token_type_ids: Optional[Array] = None,
+        position_ids: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        cfg = self.config
+        B, L = input_ids.shape
+        word_emb = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="word_embeddings"
+        )(input_ids)
+        if position_ids is None:
+            position_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
+        pos_emb = nn.Embed(
+            cfg.max_position_embeddings,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            name="position_embeddings",
+        )(position_ids)
+        x = word_emb + pos_emb
+        if cfg.type_vocab_size > 0:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(input_ids)
+            x = x + nn.Embed(
+                cfg.type_vocab_size,
+                cfg.hidden_size,
+                dtype=self.dtype,
+                name="token_type_embeddings",
+            )(token_type_ids)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with a fused QKV projection.
+
+    ``attention_bias`` is an additive float mask broadcastable to
+    (B, num_heads, L, L); padding and window structure are both expressed this
+    way so one einsum path serves dense and (small-L) sliding-window variants.
+    """
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        attention_bias: Optional[Array],
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ):
+        cfg = self.config
+        B, L, H = hidden.shape
+        nh, hd = cfg.num_heads, cfg.head_dim
+
+        qkv = nn.DenseGeneral(
+            features=(3, nh, hd), axis=-1, dtype=self.dtype, name="qkv"
+        )(hidden)  # (B, L, 3, nh, hd)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, L, nh, hd)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, dtype=self.dtype))
+        # (B, nh, L, L)
+        scores = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
+        if attention_bias is not None:
+            scores = scores + attention_bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+        out = nn.DenseGeneral(
+            features=H, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(ctx)
+        if output_attentions:
+            return out, probs
+        return out, None
+
+
+class TransformerLayer(nn.Module):
+    """Post-LayerNorm transformer block (BERT convention)."""
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        attention_bias: Optional[Array],
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ):
+        cfg = self.config
+        attn_out, probs = SelfAttention(cfg, dtype=self.dtype, name="attention")(
+            hidden, attention_bias, deterministic, output_attentions
+        )
+        attn_out = nn.Dropout(cfg.hidden_dropout)(attn_out, deterministic=deterministic)
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln"
+        )(hidden + attn_out)
+
+        mlp = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_in")(hidden)
+        mlp = ACT2FN[cfg.hidden_act](mlp)
+        mlp = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_out")(mlp)
+        mlp = nn.Dropout(cfg.hidden_dropout)(mlp, deterministic=deterministic)
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="mlp_ln"
+        )(hidden + mlp)
+        return hidden, probs
+
+
+class PoNetLayerStub(nn.Module):
+    """Placeholder — real PoNet mixer lands in models/ponet.py."""
+
+
+class Encoder(nn.Module):
+    """The trunk: embeddings → N transformer layers → optional pooler.
+
+    Behavioral parity target: HF ``BertModel`` forward (validated by
+    tests/test_hf_parity.py against a randomly-initialized torch BertModel
+    through weight conversion).
+    """
+
+    config: EncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Array,
+        attention_mask: Optional[Array] = None,
+        token_type_ids: Optional[Array] = None,
+        position_ids: Optional[Array] = None,
+        global_attention_mask: Optional[Array] = None,
+        deterministic: bool = True,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
+    ) -> EncoderOutput:
+        cfg = self.config
+        B, L = input_ids.shape
+
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, L), dtype=jnp.int32)
+
+        # Build the additive attention bias once for all layers.
+        if cfg.attention_type == "dense":
+            bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        elif cfg.attention_type == "sliding_window":
+            bias = sliding_window_attention_mask_bias(
+                attention_mask,
+                window=cfg.attention_window,
+                global_mask=global_attention_mask,
+                neg_inf=NEG_INF,
+            )[:, None, :, :]
+        else:
+            raise NotImplementedError(
+                f"attention_type={cfg.attention_type!r} not wired into the trunk yet"
+            )
+
+        hidden = Embeddings(cfg, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, position_ids, deterministic
+        )
+
+        all_hidden = (hidden,) if output_hidden_states else None
+        all_attn = () if output_attentions else None
+        for i in range(cfg.num_layers):
+            hidden, probs = TransformerLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                hidden, bias, deterministic, output_attentions
+            )
+            if output_hidden_states:
+                all_hidden = all_hidden + (hidden,)
+            if output_attentions:
+                all_attn = all_attn + (probs,)
+
+        pooled = None
+        if cfg.add_pooler:
+            pooled = nn.tanh(
+                nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pooler")(hidden[:, 0])
+            )
+
+        return EncoderOutput(
+            last_hidden_state=hidden,
+            pooled_output=pooled,
+            hidden_states=all_hidden,
+            attentions=all_attn,
+        )
