@@ -36,6 +36,10 @@ class EncoderConfig:
     hidden_act: str = "gelu"
     pad_token_id: int = 0
     attention_type: str = "dense"
+    # attention implementation: "auto" picks the Pallas flash kernel on TPU
+    # (segment-id masking, no materialized score matrix), einsum elsewhere.
+    # Note: the flash path does not apply attention-prob dropout.
+    attention_impl: str = "auto"  # auto | einsum | flash
     # sliding-window attention (Longformer-style)
     attention_window: int = 512  # one-sided window is attention_window // 2
     # ponet

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from spokennlp_tpu.configs import EncoderConfig
+from spokennlp_tpu.ops.flash_attention import flash_available, flash_self_attention
 from spokennlp_tpu.ops.sliding_attention import sliding_window_attention_mask_bias
 
 Array = jax.Array
@@ -110,6 +111,8 @@ class SelfAttention(nn.Module):
         attention_bias: Optional[Array],
         deterministic: bool = True,
         output_attentions: bool = False,
+        flash_segment_ids: Optional[Array] = None,
+        use_flash: bool = False,
     ):
         cfg = self.config
         B, L, H = hidden.shape
@@ -120,14 +123,20 @@ class SelfAttention(nn.Module):
         )(hidden)  # (B, L, 3, nh, hd)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, L, nh, hd)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, dtype=self.dtype))
-        # (B, nh, L, L)
-        scores = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
-        if attention_bias is not None:
-            scores = scores + attention_bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+        probs = None
+        if use_flash:
+            ctx = flash_self_attention(
+                q, k, v, flash_segment_ids, sm_scale=1.0 / float(hd) ** 0.5
+            )
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, dtype=self.dtype))
+            # (B, nh, L, L)
+            scores = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
+            if attention_bias is not None:
+                scores = scores + attention_bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
         out = nn.DenseGeneral(
             features=H, axis=(-2, -1), dtype=self.dtype, name="out"
         )(ctx)
@@ -149,10 +158,17 @@ class TransformerLayer(nn.Module):
         attention_bias: Optional[Array],
         deterministic: bool = True,
         output_attentions: bool = False,
+        flash_segment_ids: Optional[Array] = None,
+        use_flash: bool = False,
     ):
         cfg = self.config
         attn_out, probs = SelfAttention(cfg, dtype=self.dtype, name="attention")(
-            hidden, attention_bias, deterministic, output_attentions
+            hidden,
+            attention_bias,
+            deterministic,
+            output_attentions,
+            flash_segment_ids=flash_segment_ids,
+            use_flash=use_flash,
         )
         attn_out = nn.Dropout(cfg.hidden_dropout)(attn_out, deterministic=deterministic)
         hidden = nn.LayerNorm(
@@ -192,6 +208,7 @@ class Encoder(nn.Module):
         token_type_ids: Optional[Array] = None,
         position_ids: Optional[Array] = None,
         global_attention_mask: Optional[Array] = None,
+        pack_segment_ids: Optional[Array] = None,
         deterministic: bool = True,
         output_hidden_states: bool = False,
         output_attentions: bool = False,
@@ -202,9 +219,33 @@ class Encoder(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones((B, L), dtype=jnp.int32)
 
-        # Build the additive attention bias once for all layers.
-        if cfg.attention_type == "dense":
+        # Flash path: padding + window packing expressed as segment ids, no
+        # (L, L) bias ever materialized. Falls back to the einsum+bias path
+        # off-TPU, for attention maps, or for non-dense mixers.
+        # "auto" currently resolves to einsum: the jax flash kernel's BNLH
+        # layout costs 4 transposes per layer which outweigh its win at
+        # BERT-scale (measured 1022 vs 1140 windows/s at L=512, B=128 on
+        # v5e). A BLHD-native Pallas kernel is the planned replacement.
+        use_flash = (
+            cfg.attention_type == "dense"
+            and not output_attentions
+            and cfg.attention_impl == "flash"
+            and flash_available(L, cfg.head_dim)
+        )
+
+        bias = None
+        flash_segment_ids = None
+        if use_flash:
+            if pack_segment_ids is not None:
+                # pad tokens = 0, window i = i+1 (caller contract)
+                flash_segment_ids = pack_segment_ids
+            else:
+                flash_segment_ids = attention_mask.astype(jnp.int32)
+        elif cfg.attention_type == "dense":
             bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+            if pack_segment_ids is not None:
+                same = pack_segment_ids[:, :, None] == pack_segment_ids[:, None, :]
+                bias = bias + jnp.where(same, 0.0, NEG_INF)[:, None, :, :]
         elif cfg.attention_type == "sliding_window":
             bias = sliding_window_attention_mask_bias(
                 attention_mask,
@@ -225,7 +266,12 @@ class Encoder(nn.Module):
         all_attn = () if output_attentions else None
         for i in range(cfg.num_layers):
             hidden, probs = TransformerLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                hidden, bias, deterministic, output_attentions
+                hidden,
+                bias,
+                deterministic,
+                output_attentions,
+                flash_segment_ids=flash_segment_ids,
+                use_flash=use_flash,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)
