@@ -54,6 +54,7 @@ class Window:
     sent_labels: np.ndarray  # (K,) int32; label at each BOS (IGNORE if masked)
     pair_orders: np.ndarray  # (K,) int32; TSSP pair-order label per sentence (or IGNORE)
     sent_ids: np.ndarray  # (K,) int32; sentence index within the document (-1 pad)
+    token_span: tuple = (0, 0)  # [token_left, token_right) in the flat doc stream
 
 
 def _flatten_doc(
@@ -223,6 +224,7 @@ def _emit_window(
         sent_labels=sent_lab,
         pair_orders=sent_pair,
         sent_ids=sent_ids_arr,
+        token_span=(token_left, token_right),
     )
 
 

@@ -1,0 +1,284 @@
+"""Training loop for topic segmentation: epochs, eval gating, checkpoints.
+
+One trainer replaces the reference's per-project HF Trainer / Accelerate /
+ModelScope / TF-Estimator plumbing (reference layer map, SURVEY.md §1):
+
+- eval cadence mirrors the reference's eval_steps computation
+  (ts_sentence_seq_labeling.py:959-969: total_steps // eval_cnt, min 40).
+- best-checkpoint retention by a chosen metric replaces
+  --load_best_model_at_end --metric_for_best_model overall_f1
+  (run_finetune.sh:82-84) via an Orbax CheckpointManager.
+- metrics stream to a JSONL file + stdout (reference: trainer.log_metrics /
+  save_metrics JSON files, :1103-1105).
+- resume: restore the latest checkpoint (params, opt state, step) — the HF
+  get_last_checkpoint equivalent (:117-129).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spokennlp_tpu.configs import (
+    TopicSegConfig,
+    TrainConfig,
+    WindowingConfig,
+)
+from spokennlp_tpu.data.featurization import batches_from_docs, featurize_paired
+from spokennlp_tpu.eval import seg_metrics
+from spokennlp_tpu.train import optim
+from spokennlp_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    make_topic_seg_train_step,
+)
+
+logger = logging.getLogger("spokennlp_tpu.trainer")
+
+
+class MetricLogger:
+    """JSONL metric stream (one line per event) + stdout."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, event: Dict):
+        event = {**event, "time": time.time()}
+        line = json.dumps(event, default=float)
+        logger.info(line)
+        if self._f:
+            self._f.write(line + "\n")
+            self._f.flush()
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class TopicSegTrainer:
+    def __init__(
+        self,
+        model,
+        task_cfg: TopicSegConfig,
+        train_cfg: TrainConfig,
+        windowing_cfg: WindowingConfig,
+        train_docs: Sequence[Dict],
+        eval_docs: Optional[Sequence[Dict]] = None,
+        params=None,
+        metric_for_best: str = "f1",
+        log_path: Optional[str] = None,
+    ):
+        self.model = model
+        self.task_cfg = task_cfg
+        self.train_cfg = train_cfg
+        self.wcfg = windowing_cfg
+        self.train_docs = list(train_docs)
+        self.eval_docs = list(eval_docs) if eval_docs else None
+        self.metric_for_best = metric_for_best
+        self.metrics_log = MetricLogger(log_path)
+
+        self.batch_size = train_cfg.per_device_batch_size * jax.local_device_count()
+        n_windows = len(
+            featurize_paired(
+                self.train_docs,
+                self.wcfg,
+                np.random.default_rng(train_cfg.seed),
+                task_cfg.tssp_ablation,
+            )
+        )
+        steps_per_epoch = max(n_windows // self.batch_size, 1)
+        self.total_steps = int(
+            steps_per_epoch
+            * train_cfg.num_train_epochs
+            // train_cfg.gradient_accumulation_steps
+        )
+        # reference cadence: eval_steps = total // eval_cnt, min 40 (:960-969)
+        self.eval_steps = max(self.total_steps // max(train_cfg.eval_cnt, 1), 40)
+
+        self.tx = optim.make_optimizer(train_cfg, max(self.total_steps, 1))
+        if params is None:
+            params = self._init_params()
+        self.state = create_train_state(params, self.tx)
+        self.step_fn = make_topic_seg_train_step(model, task_cfg, self.tx)
+        self.rng = jax.random.PRNGKey(train_cfg.seed)
+
+        self._ckpt_mgr = None
+        if train_cfg.checkpoint_dir:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(train_cfg.checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=train_cfg.save_total_limit,
+                    best_fn=lambda m: m.get(self.metric_for_best, float("-inf")),
+                    best_mode="max",
+                ),
+            )
+
+    def _init_params(self):
+        L = self.wcfg.max_seq_length
+        B = 2
+        return self.model.init(
+            jax.random.PRNGKey(self.train_cfg.seed),
+            jnp.ones((B, L), jnp.int32),
+            attention_mask=jnp.ones((B, L), jnp.int32),
+            token_type_ids=jnp.zeros((B, L), jnp.int32),
+            sent_positions=jnp.zeros((B, 8), jnp.int32),
+            deterministic=True,
+        )["params"]
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> Dict:
+        cfg = self.train_cfg
+        data_rng = np.random.default_rng(cfg.seed)
+        step = int(self.state.step)
+        best = float("-inf")
+        history = []
+        t_start = time.time()
+        epoch = 0
+        while step < self.total_steps * cfg.gradient_accumulation_steps:
+            epoch += 1
+            # drop_last=False: short final batches are padded by repetition so
+            # tiny corpora still progress (and shapes stay static for jit).
+            for batch in batches_from_docs(
+                self.train_docs,
+                self.wcfg,
+                self.task_cfg,
+                self.batch_size,
+                data_rng,
+                drop_last=False,
+            ):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                self.state, metrics = self.step_fn(self.state, jb, self.rng)
+                step += 1
+                if step % cfg.log_every == 0:
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    self.metrics_log.log(
+                        {"event": "train", "step": step, "epoch": epoch, **scalars}
+                    )
+                if self.eval_docs and step % self.eval_steps == 0:
+                    eval_metrics = self.evaluate()
+                    self.metrics_log.log(
+                        {"event": "eval", "step": step, **eval_metrics}
+                    )
+                    history.append((step, eval_metrics))
+                    score = eval_metrics.get(self.metric_for_best, 0.0)
+                    if score > best:
+                        best = score
+                    self._save(step, eval_metrics)
+                if step >= self.total_steps * cfg.gradient_accumulation_steps:
+                    break
+        final = {
+            "train_steps": step,
+            "train_time_s": time.time() - t_start,
+            "best_" + self.metric_for_best: best,
+        }
+        if self.eval_docs:
+            final_eval = self.evaluate()
+            final.update({f"final_{k}": v for k, v in final_eval.items()})
+            self._save(step, final_eval)
+        self.metrics_log.log({"event": "train_end", **final})
+        return final
+
+    # ------------------------------------------------------------------- eval
+
+    def evaluate(self, docs: Optional[Sequence[Dict]] = None) -> Dict:
+        """Window-level eval (the reference's compute_metrics, :1018-1074)."""
+        from spokennlp_tpu.eval.inference import make_predict_fn, predict_windows
+        from spokennlp_tpu.data.windowing import stack_windows, window_document
+
+        docs = docs if docs is not None else self.eval_docs
+        windows = []
+        for eid, doc in enumerate(docs):
+            windows.extend(
+                window_document(doc["sent_token_ids"], doc["labels"], self.wcfg, eid)
+            )
+        if not windows:
+            return {}
+        batch = stack_windows(windows)
+        predict_fn = make_predict_fn(self.model, self.state.params)
+        logits = predict_windows(predict_fn, batch, self.batch_size)
+        preds, refs = [], []
+        for i in range(len(windows)):
+            live = batch["labels"][i] != -100
+            if live.any():
+                preds.append(np.argmax(logits[i][live], -1).tolist())
+                refs.append(batch["labels"][i][live].tolist())
+        prf = seg_metrics.boundary_prf(preds, refs)
+        return {
+            "precision": prf["overall_precision"],
+            "recall": prf["overall_recall"],
+            "f1": prf["overall_f1"],
+            "accuracy": prf["overall_accuracy"],
+        }
+
+    # ------------------------------------------------------------ checkpoints
+
+    def _save(self, step: int, eval_metrics: Dict):
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        self._ckpt_mgr.save(
+            step,
+            args=ocp.args.StandardSave(
+                {"params": self.state.params, "opt_state": self.state.opt_state,
+                 "step": self.state.step}
+            ),
+            metrics={k: float(v) for k, v in eval_metrics.items()},
+        )
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore_latest(self) -> bool:
+        """Resume from the newest checkpoint; returns True if restored."""
+        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        target = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = self._ckpt_mgr.restore(
+            self._ckpt_mgr.latest_step(), args=ocp.args.StandardRestore(target)
+        )
+        self.state = TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        return True
+
+    def restore_best(self) -> bool:
+        if self._ckpt_mgr is None or self._ckpt_mgr.best_step() is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        target = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = self._ckpt_mgr.restore(
+            self._ckpt_mgr.best_step(), args=ocp.args.StandardRestore(target)
+        )
+        self.state = TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        return True
