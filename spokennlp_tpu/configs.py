@@ -46,6 +46,9 @@ class EncoderConfig:
     ponet_local_window: int = 3
     # embedding variant: "absolute" learned positions (BERT family)
     position_embedding_type: str = "absolute"
+    # position-id convention: "bert" = arange(L); "roberta" = offset past the
+    # padding index, computed from the attention mask (Longformer/RoBERTa)
+    position_style: str = "bert"
     # whether a pooler (CLS tanh dense) exists — needed for sequence classification
     add_pooler: bool = True
 

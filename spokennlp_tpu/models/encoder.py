@@ -71,7 +71,12 @@ class Embeddings(nn.Module):
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="word_embeddings"
         )(input_ids)
         if position_ids is None:
-            position_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
+            if cfg.position_style == "roberta":
+                # RoBERTa/Longformer: ids count non-pad tokens, offset past pad
+                not_pad = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+                position_ids = jnp.cumsum(not_pad, axis=1) * not_pad + cfg.pad_token_id
+            else:
+                position_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
         pos_emb = nn.Embed(
             cfg.max_position_embeddings,
             cfg.hidden_size,
@@ -113,6 +118,8 @@ class SelfAttention(nn.Module):
         output_attentions: bool = False,
         flash_segment_ids: Optional[Array] = None,
         use_flash: bool = False,
+        global_mask: Optional[Array] = None,
+        key_padding_bias: Optional[Array] = None,
     ):
         cfg = self.config
         B, L, H = hidden.shape
@@ -137,6 +144,30 @@ class SelfAttention(nn.Module):
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
             probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
+
+        if cfg.attention_type == "sliding_window" and global_mask is not None:
+            # Longformer global pass: global-position queries re-attend to the
+            # whole sequence through the dedicated *_global projections, and
+            # their output replaces the local-pass rows (HF Longformer
+            # semantics; reference usage: longformer_for_ts.py:55-58).
+            qkv_g = nn.DenseGeneral(
+                features=(3, nh, hd), axis=-1, dtype=self.dtype, name="qkv_global"
+            )(hidden)
+            qg, kg, vg = jnp.moveaxis(qkv_g, 2, 0)
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, dtype=self.dtype))
+            g_scores = jnp.einsum("blhd,bmhd->bhlm", qg * scale, kg)
+            if key_padding_bias is not None:
+                g_scores = g_scores + key_padding_bias.astype(g_scores.dtype)
+            g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1).astype(
+                self.dtype
+            )
+            g_probs = nn.Dropout(cfg.attention_dropout)(
+                g_probs, deterministic=deterministic
+            )
+            g_ctx = jnp.einsum("bhlm,bmhd->blhd", g_probs, vg)
+            is_global = global_mask.astype(bool)[:, :, None, None]
+            ctx = jnp.where(is_global, g_ctx, ctx)
+
         out = nn.DenseGeneral(
             features=H, axis=(-2, -1), dtype=self.dtype, name="out"
         )(ctx)
@@ -160,6 +191,8 @@ class TransformerLayer(nn.Module):
         output_attentions: bool = False,
         flash_segment_ids: Optional[Array] = None,
         use_flash: bool = False,
+        global_mask: Optional[Array] = None,
+        key_padding_bias: Optional[Array] = None,
     ):
         cfg = self.config
         attn_out, probs = SelfAttention(cfg, dtype=self.dtype, name="attention")(
@@ -169,6 +202,8 @@ class TransformerLayer(nn.Module):
             output_attentions,
             flash_segment_ids=flash_segment_ids,
             use_flash=use_flash,
+            global_mask=global_mask,
+            key_padding_bias=key_padding_bias,
         )
         attn_out = nn.Dropout(cfg.hidden_dropout)(attn_out, deterministic=deterministic)
         hidden = nn.LayerNorm(
@@ -235,6 +270,7 @@ class Encoder(nn.Module):
 
         bias = None
         flash_segment_ids = None
+        key_padding_bias = None
         if use_flash:
             if pack_segment_ids is not None:
                 # pad tokens = 0, window i = i+1 (caller contract)
@@ -253,6 +289,9 @@ class Encoder(nn.Module):
                 global_mask=global_attention_mask,
                 neg_inf=NEG_INF,
             )[:, None, :, :]
+            key_padding_bias = (
+                (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+            )
         else:
             raise NotImplementedError(
                 f"attention_type={cfg.attention_type!r} not wired into the trunk yet"
@@ -272,6 +311,12 @@ class Encoder(nn.Module):
                 output_attentions,
                 flash_segment_ids=flash_segment_ids,
                 use_flash=use_flash,
+                global_mask=(
+                    global_attention_mask
+                    if cfg.attention_type == "sliding_window"
+                    else None
+                ),
+                key_padding_bias=key_padding_bias,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

@@ -75,14 +75,29 @@ def bert_to_encoder_params(
 
         out_kernel = sd[lp + "attention.output.dense.weight"].T.reshape(nh, hd, H)
 
-        params[f"layer_{i}"] = {
-            "attention": {
-                "qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
-                "out": {
-                    "kernel": out_kernel,
-                    "bias": sd[lp + "attention.output.dense.bias"],
-                },
+        attention = {
+            "qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
+            "out": {
+                "kernel": out_kernel,
+                "bias": sd[lp + "attention.output.dense.bias"],
             },
+        }
+        # Longformer global-attention projections (query_global/key_global/
+        # value_global) pack the same way into a fused qkv_global.
+        if (lp + "attention.self.query_global.weight") in sd:
+            qg = sd[lp + "attention.self.query_global.weight"].T.reshape(H, nh, hd)
+            kg = sd[lp + "attention.self.key_global.weight"].T.reshape(H, nh, hd)
+            vg = sd[lp + "attention.self.value_global.weight"].T.reshape(H, nh, hd)
+            qgb = sd[lp + "attention.self.query_global.bias"].reshape(nh, hd)
+            kgb = sd[lp + "attention.self.key_global.bias"].reshape(nh, hd)
+            vgb = sd[lp + "attention.self.value_global.bias"].reshape(nh, hd)
+            attention["qkv_global"] = {
+                "kernel": np.stack([qg, kg, vg], axis=1),
+                "bias": np.stack([qgb, kgb, vgb], axis=0),
+            }
+
+        params[f"layer_{i}"] = {
+            "attention": attention,
             "attention_ln": _layernorm(sd, lp + "attention.output.LayerNorm"),
             "mlp_in": _linear(sd, lp + "intermediate.dense"),
             "mlp_out": _linear(sd, lp + "output.dense"),
@@ -92,6 +107,70 @@ def bert_to_encoder_params(
     if cfg.add_pooler and (p + "pooler.dense.weight") in sd:
         params["pooler"] = _linear(sd, p + "pooler.dense")
 
+    return params
+
+
+def longformer_to_encoder_params(
+    sd: Dict[str, np.ndarray], cfg: EncoderConfig, prefix: str = ""
+) -> Dict:
+    """HF LongformerModel shares BERT's module layout plus *_global projections."""
+    return bert_to_encoder_params(sd, cfg, prefix)
+
+
+def hf_longformer_config_to_encoder_config(hf_config, **overrides) -> EncoderConfig:
+    """Translate a transformers LongformerConfig.
+
+    HF allows per-layer windows; the trunk uses one window (the max). HF's
+    ``attention_window`` is the TOTAL window (one-sided = window // 2), same
+    convention as ops/sliding_attention.py.
+    """
+    window = hf_config.attention_window
+    if isinstance(window, (list, tuple)):
+        window = max(window)
+    kwargs = dict(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        type_vocab_size=hf_config.type_vocab_size,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        hidden_dropout=hf_config.hidden_dropout_prob,
+        attention_dropout=hf_config.attention_probs_dropout_prob,
+        hidden_act=hf_config.hidden_act,
+        pad_token_id=hf_config.pad_token_id or 1,
+        attention_type="sliding_window",
+        attention_window=window,
+        position_style="roberta",
+    )
+    kwargs.update(overrides)
+    return EncoderConfig(**kwargs)
+
+
+def extend_position_embeddings(
+    params: Dict, new_max: int, num_special: int = 0
+) -> Dict:
+    """Tile a pretrained position-embedding table out to ``new_max`` rows.
+
+    The reference extends PoNet positions to 4096 by repeating the pretrained
+    table (alimeeting4mug/src/topic_segment/ponet_topic_segmentation.py:
+    466-482) and bumps config max for long inputs (ts_sentence_seq_labeling.
+    py:295-307). ``num_special`` rows at the front (RoBERTa pad/offset rows)
+    are kept fixed and excluded from the tile period.
+    """
+    import copy
+
+    params = copy.deepcopy(params)
+    table = np.asarray(params["embeddings"]["position_embeddings"]["embedding"])
+    old_max, H = table.shape
+    if new_max <= old_max:
+        return params
+    period = old_max - num_special
+    reps = -(-(new_max - num_special) // period)
+    body = np.tile(table[num_special:], (reps, 1))[: new_max - num_special]
+    new_table = np.concatenate([table[:num_special], body], axis=0)
+    params["embeddings"]["position_embeddings"]["embedding"] = new_table
     return params
 
 

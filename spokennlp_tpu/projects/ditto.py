@@ -1,0 +1,230 @@
+"""Ditto: learning-free sentence embeddings via Diagonal Attention Pooling.
+
+TPU-native counterpart of the reference evaluator (reference: ditto/
+evaluation_ditto.py:37-215): run any converted encoder checkpoint, weight
+token hidden states by the token's self-attention diagonal from a chosen
+(layer, head), and evaluate on STS with cosine similarity + Spearman.
+
+All nine pooler variants of the reference (:130-172) are supported:
+cls, cls_before_pooler, avg, avg_top2, avg_first_last, att_first_last,
+att_last, att_static, avg_static.
+
+The attention diagonal is computed WITHOUT materializing the (L, L) prob
+matrix: diag_i = exp(s_ii - logsumexp_j s_ij). The row logsumexp needs the
+full score row, but only for ONE layer and ONE head — an (B, L, L) einsum on
+a single head, not num_layers * num_heads of them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spokennlp_tpu.models.encoder import Encoder, NEG_INF
+
+Array = jax.Array
+
+POOLERS = (
+    "cls",
+    "cls_before_pooler",
+    "avg",
+    "avg_top2",
+    "avg_first_last",
+    "att_first_last",
+    "att_last",
+    "att_static",
+    "avg_static",
+)
+
+
+def attention_diagonal(
+    encoder: Encoder,
+    params,
+    hidden_prev: Array,
+    attention_mask: Array,
+    layer: int,
+    head: int,
+) -> Array:
+    """Diagonal of the attention-prob matrix of one (layer, head).
+
+    hidden_prev: (B, L, H) hidden states ENTERING the chosen layer.
+    Returns (B, L) float32.
+    """
+    cfg = encoder.config
+    nh, hd = cfg.num_heads, cfg.head_dim
+    attn = params[f"layer_{layer}"]["attention"]
+    kernel = jnp.asarray(attn["qkv"]["kernel"])  # (H, 3, nh, hd)
+    bias = jnp.asarray(attn["qkv"]["bias"])  # (3, nh, hd)
+    q = jnp.einsum("blh,hd->bld", hidden_prev, kernel[:, 0, head, :]) + bias[0, head]
+    k = jnp.einsum("blh,hd->bld", hidden_prev, kernel[:, 1, head, :]) + bias[1, head]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, hidden_prev.dtype))
+    scores = jnp.einsum("bld,bmd->blm", q * scale, k).astype(jnp.float32)
+    scores = scores + (1.0 - attention_mask[:, None, :].astype(jnp.float32)) * NEG_INF
+    lse = jax.nn.logsumexp(scores, axis=-1)  # (B, L)
+    s_ii = jnp.einsum("bld,bld->bl", q * scale, k).astype(jnp.float32)
+    return jnp.exp(s_ii - lse)
+
+
+def make_embed_fn(
+    encoder: Encoder,
+    params,
+    pooler: str = "att_first_last",
+    layer: int = 0,
+    head: int = 9,
+):
+    """Build a jitted (input_ids, attention_mask) -> (B, H) embedding fn."""
+    assert pooler in POOLERS, pooler
+    needs_attn = pooler.startswith("att_")
+
+    @jax.jit
+    def embed(input_ids, attention_mask):
+        out = encoder.apply(
+            {"params": params},
+            input_ids,
+            attention_mask=attention_mask,
+            deterministic=True,
+            output_hidden_states=True,
+        )
+        hs = out.hidden_states  # tuple: embeddings output + per-layer
+        last = out.last_hidden_state
+        mask = attention_mask[..., None].astype(last.dtype)
+
+        if needs_attn:
+            diag = attention_diagonal(
+                encoder, params, hs[layer], attention_mask, layer, head
+            )[..., None].astype(last.dtype)
+
+        if pooler == "cls":
+            return out.pooled_output
+        if pooler == "cls_before_pooler":
+            return last[:, 0]
+        if pooler == "avg":
+            return (last * mask).sum(1) / mask.sum(1)
+        if pooler == "avg_top2":
+            h = (hs[-1] + hs[-2]) / 2.0
+            return (h * mask).sum(1) / mask.sum(1)
+        if pooler == "avg_first_last":
+            h = (hs[0] + hs[-1]) / 2.0
+            return (h * mask).sum(1) / mask.sum(1)
+        if pooler == "att_first_last":
+            h = (hs[0] + hs[-1]) / 2.0
+            return (h * mask * diag).sum(1)
+        if pooler == "att_last":
+            return (last * mask * diag).sum(1)
+        if pooler in ("att_static", "avg_static"):
+            word = params["embeddings"]["word_embeddings"]["embedding"]
+            static = jnp.asarray(word)[input_ids].astype(last.dtype)
+            if pooler == "att_static":
+                return (static * mask * diag).sum(1)
+            return (static * mask).sum(1) / mask.sum(1)
+        raise ValueError(pooler)
+
+    return embed
+
+
+# ---------------------------------------------------------------------------
+# STS evaluation
+# ---------------------------------------------------------------------------
+
+
+def cosine_scores(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    an = a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    bn = b / np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+    return (an * bn).sum(-1)
+
+
+def spearman(x: np.ndarray, y: np.ndarray) -> float:
+    try:
+        from scipy import stats
+
+        return float(stats.spearmanr(x, y).statistic)
+    except Exception:
+        rx = np.argsort(np.argsort(x)).astype(np.float64)
+        ry = np.argsort(np.argsort(y)).astype(np.float64)
+        rx -= rx.mean()
+        ry -= ry.mean()
+        return float((rx * ry).sum() / np.sqrt((rx**2).sum() * (ry**2).sum()))
+
+
+@dataclasses.dataclass
+class StsDataset:
+    """One STS task: possibly multiple subsets of (sent1, sent2, gold)."""
+
+    name: str
+    subsets: Dict[str, Tuple[List[str], List[str], List[float]]]
+
+
+def load_sts_tsv(path: str, name: str = "sts") -> StsDataset:
+    """Generic loader: TSV lines 'sent1<TAB>sent2<TAB>score'."""
+    s1, s2, gold = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3:
+                continue
+            s1.append(parts[0])
+            s2.append(parts[1])
+            gold.append(float(parts[2]))
+    return StsDataset(name=name, subsets={"all": (s1, s2, gold)})
+
+
+def load_senteval_sts(task_dir: str, subsets: Sequence[str], name: str) -> StsDataset:
+    """SentEval STS layout: STS.input.<subset>.txt + STS.gs.<subset>.txt."""
+    import os
+
+    out = {}
+    for ss in subsets:
+        s1, s2, gold = [], [], []
+        with open(os.path.join(task_dir, f"STS.input.{ss}.txt")) as fi, open(
+            os.path.join(task_dir, f"STS.gs.{ss}.txt")
+        ) as fg:
+            for line, g in zip(fi, fg):
+                g = g.strip()
+                if not g:
+                    continue
+                a, b = line.rstrip("\n").split("\t")[:2]
+                s1.append(a)
+                s2.append(b)
+                gold.append(float(g))
+        out[ss] = (s1, s2, gold)
+    return StsDataset(name=name, subsets=out)
+
+
+def evaluate_sts(
+    embed_fn,
+    tokenize_fn: Callable[[List[str]], Tuple[np.ndarray, np.ndarray]],
+    dataset: StsDataset,
+    batch_size: int = 64,
+) -> Dict[str, float]:
+    """Spearman per subset + 'all' over the concatenation (SentEval style)."""
+    all_sims: List[np.ndarray] = []
+    all_gold: List[np.ndarray] = []
+    results: Dict[str, float] = {}
+    for ss, (s1, s2, gold) in dataset.subsets.items():
+        embs1 = _embed_corpus(embed_fn, tokenize_fn, s1, batch_size)
+        embs2 = _embed_corpus(embed_fn, tokenize_fn, s2, batch_size)
+        sims = cosine_scores(embs1, embs2)
+        results[f"{ss}_spearman"] = spearman(sims, np.asarray(gold))
+        all_sims.append(sims)
+        all_gold.append(np.asarray(gold))
+    results["all_spearman"] = spearman(
+        np.concatenate(all_sims), np.concatenate(all_gold)
+    )
+    return results
+
+
+def _embed_corpus(embed_fn, tokenize_fn, sentences, batch_size) -> np.ndarray:
+    outs = []
+    for start in range(0, len(sentences), batch_size):
+        chunk = sentences[start : start + batch_size]
+        real = len(chunk)
+        while len(chunk) < batch_size:  # keep shapes static for jit
+            chunk = chunk + chunk[: batch_size - len(chunk)]
+        ids, mask = tokenize_fn(chunk)
+        emb = embed_fn(jnp.asarray(ids), jnp.asarray(mask))
+        outs.append(np.asarray(emb[:real], dtype=np.float32))
+    return np.concatenate(outs, axis=0)
