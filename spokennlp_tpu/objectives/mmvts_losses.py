@@ -1,0 +1,156 @@
+"""MMVTS objectives: weighted ts CE + modality alignment + topic contrastive.
+
+Fixed-shape reimplementation of the reference LossLayer stack (reference:
+mmvts/src/models/modules/loss_layer.py:7-118 and
+contrastive_learning_layer.py:26-295). The reference flattens ragged
+valid-clip features across the batch; here every loss runs on the padded
+(B, K) clip grid with a mask.
+
+Label convention (MMVTS): clip label 1 = END of topic (config.label_eot = 1)
+— note this is INVERTED from the emnlp2023 B-EOP=0 scheme.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from spokennlp_tpu.ops.losses import cross_entropy_with_ignore, ts_class_weights
+
+Array = jax.Array
+IGNORE = -100
+EPS = 1e-8
+LABEL_EOT = 1
+
+
+def ts_loss(
+    logits: Array, clip_labels: Array, clip_mask: Array, weight_label_zero: float = 0.5
+) -> Array:
+    """CE over valid clips (loss_layer.py:14-23)."""
+    labels = jnp.where(clip_mask.astype(bool), clip_labels, IGNORE)
+    return cross_entropy_with_ignore(
+        logits, labels, class_weights=ts_class_weights(weight_label_zero)
+    )
+
+
+def modality_cl_loss(
+    feats_a: Array, feats_b: Array, clip_mask: Array, temp: float = 0.1
+) -> Array:
+    """Clip-aligned InfoNCE: matching clips across modalities are positives
+    (contrastive_learning_layer.py:26-37). Flattens valid clips batch-wide."""
+    B, K, H = feats_a.shape
+    a = feats_a.reshape(B * K, H).astype(jnp.float32)
+    b = feats_b.reshape(B * K, H).astype(jnp.float32)
+    valid = clip_mask.reshape(B * K).astype(bool)
+
+    an = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + EPS)
+    bn = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + EPS)
+    sim = (an @ bn.T) / temp
+    exp_sim = jnp.where(valid[None, :], jnp.exp(sim), 0.0)
+    numerator = jnp.exp(jnp.sum(an * bn, axis=-1) / temp) + EPS
+    denominator = exp_sim.sum(axis=1) + EPS
+    losses = -jnp.log(numerator / denominator)
+    n = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, losses, 0.0).sum() / n
+
+
+def _flat_topic_ids(clip_labels: Array, clip_mask: Array):
+    """Global topic ids over the flattened valid clips; each sample's LAST
+    valid clip is forced to close its topic (TopicContrastiveLearning.
+    get_valid_labels:45-58)."""
+    B, K = clip_labels.shape
+    valid = clip_mask.astype(bool)
+    n_valid = valid.astype(jnp.int32).sum(axis=1)
+    last_idx = jnp.maximum(n_valid - 1, 0)
+    is_last = (jnp.arange(K)[None, :] == last_idx[:, None]) & valid
+    labels = jnp.where(is_last, LABEL_EOT, clip_labels)
+    is_eot = valid & (labels == LABEL_EOT)
+    within = jnp.cumsum(is_eot.astype(jnp.int32), axis=1) - is_eot.astype(jnp.int32)
+    n_topics = is_eot.astype(jnp.int32).sum(axis=1)
+    offsets = jnp.cumsum(n_topics) - n_topics
+    ids = jnp.where(valid, within + offsets[:, None], -1)
+    return ids, valid
+
+
+def topic_cl_matrix_loss(
+    fused: Array, clip_labels: Array, clip_mask: Array, temp: float = 0.1
+) -> Array:
+    """Matrix-mode topic contrastive loss (matrix_type_loss:85-101):
+    positives = same-topic pairs, denominator = all valid pairs minus the
+    diagonal; mean of -log((num + eps) / (den + eps)) over valid rows."""
+    B, K, H = fused.shape
+    ids, valid = _flat_topic_ids(clip_labels, clip_mask)
+    f = fused.reshape(B * K, H).astype(jnp.float32)
+    flat_ids = ids.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    fn = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + EPS)
+    sim = (fn @ fn.T) / temp
+    M = B * K
+    eye = jnp.eye(M, dtype=bool)
+    pair_valid = flat_valid[:, None] & flat_valid[None, :] & ~eye
+    same = pair_valid & (flat_ids[:, None] == flat_ids[None, :])
+    exp_sim = jnp.exp(sim)
+    numerator = jnp.where(same, exp_sim, 0.0).sum(axis=1) + EPS
+    denominator = jnp.where(pair_valid, exp_sim, 0.0).sum(axis=1) + EPS
+    losses = -jnp.log(numerator / denominator)
+    n = jnp.maximum(flat_valid.sum(), 1)
+    return jnp.where(flat_valid, losses, 0.0).sum() / n
+
+
+def mmvts_total_loss(
+    cfg,
+    outputs: Dict[str, Array],
+    clip_labels: Array,
+    clip_mask: Array,
+    *,
+    weight_label_zero: float = 0.5,
+    ts_lw: float = 1.0,
+    do_modality_cl: bool = False,
+    modality_cl_lw: float = 1.0,
+    align_pairs: Dict[str, float] = None,
+    align_before_fuse: bool = True,
+    cl_temp: float = 0.1,
+    do_topic_mm_cl: bool = False,
+    topic_mm_cl_lw: float = 1.0,
+):
+    """Assemble the composite loss (loss_layer.py:68-118). ``align_pairs``
+    maps pair names ("av", "at", "tv") to weights."""
+    aux: Dict[str, Array] = {}
+    total = ts_lw * ts_loss(
+        outputs["logits"], clip_labels, clip_mask, weight_label_zero
+    )
+    aux["ts_loss"] = total
+
+    if do_modality_cl:
+        feats = outputs["projected"] if align_before_fuse else outputs["features"]
+        pair_feats = {
+            "av": ("audio", "vis"),
+            "at": ("audio", "text"),
+            "tv": ("text", "vis"),
+        }
+        m_loss = 0.0
+        for pair, w in (align_pairs or {}).items():
+            a, b = pair_feats[pair]
+            if a in feats and b in feats:
+                l = w * modality_cl_loss(feats[a], feats[b], clip_mask, cl_temp)
+                aux[f"{pair}_cl_loss"] = l
+                m_loss = m_loss + l
+        m_loss = modality_cl_lw * m_loss
+        aux["modality_cl_loss"] = m_loss
+        total = total + m_loss
+
+    if do_topic_mm_cl:
+        t_loss = topic_mm_cl_lw * topic_cl_matrix_loss(
+            outputs["fused"], clip_labels, clip_mask, cl_temp
+        )
+        aux["topic_mm_cl_loss"] = t_loss
+        total = total + t_loss
+
+    if outputs.get("moe_loss") is not None:
+        aux["moe_loss"] = outputs["moe_loss"]
+        total = total + outputs["moe_loss"]
+
+    aux["total_loss"] = total
+    return total, aux
