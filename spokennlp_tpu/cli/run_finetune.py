@@ -1,0 +1,100 @@
+"""Topic-segmentation fine-tuning CLI.
+
+Drop-in counterpart of the reference's run_finetune.sh ->
+ts_sentence_seq_labeling.py main() train path (reference:
+emnlp2023-topic_segmentation/run_finetune.sh:60-100). Same flag names; one
+process drives all local devices through the jitted SPMD train step instead
+of torch.distributed.launch.
+
+Example:
+  python -m spokennlp_tpu.cli.run_finetune \
+      --dataset_name wiki_section --data_dir ./data/wiki_section \
+      --output_dir ./out --do_train --do_eval \
+      --ts_loss_weight 1.0 --tssp_loss_weight 1.0 --cl_loss_weight 0.5 \
+      --cl_temp 0.1 --cl_anchor_level eop_list --do_tssp --do_da_ts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    from spokennlp_tpu.cli import common
+
+    p = argparse.ArgumentParser()
+    common.add_model_args(p)
+    common.add_data_args(p)
+    common.add_training_args(p)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    import jax.numpy as jnp
+
+    tokenize_fn, special = common.resolve_tokenizer(args)
+    enc_cfg, task_cfg, wcfg, tcfg = common.build_configs(args, special)
+
+    pretrained = common.maybe_load_pretrained(args, enc_cfg)
+    params = None
+    if pretrained is not None:
+        enc_cfg, trunk_params = pretrained
+
+    from spokennlp_tpu.models.topic_seg import TopicSegModel
+    from spokennlp_tpu.train.trainer import TopicSegTrainer
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = TopicSegModel(enc_cfg, task_cfg, dtype=dtype)
+
+    docs = common.load_docs(args, tokenize_fn)
+    trainer = TopicSegTrainer(
+        model,
+        task_cfg,
+        tcfg,
+        wcfg,
+        train_docs=docs.get("train", []),
+        eval_docs=docs.get("validation"),
+        metric_for_best=args.metric_for_best_model,
+        log_path=os.path.join(args.output_dir, "metrics.jsonl"),
+    )
+    if pretrained is not None:
+        # graft converted trunk weights under the task model's encoder scope
+        merged = dict(trainer.state.params)
+        merged["encoder"] = trunk_params
+        from spokennlp_tpu.train.train_step import create_train_state
+
+        trainer.state = create_train_state(merged, trainer.tx)
+
+    if args.resume_from_checkpoint or trainer.restore_latest():
+        print("resumed from checkpoint")
+
+    results = {}
+    if args.do_train:
+        results.update(trainer.train())
+    if args.do_eval:
+        results.update({f"eval_{k}": v for k, v in trainer.evaluate().items()})
+    if args.do_predict and "test" in docs:
+        from spokennlp_tpu.eval.inference import run_topic_seg_inference
+
+        out = run_topic_seg_inference(
+            model,
+            trainer.state.params,
+            docs["test"],
+            wcfg,
+            batch_size=args.per_device_eval_batch_size,
+            threshold=args.threshold,
+            topk=args.topk,
+            f1_at_k=args.f1_at_k,
+        )
+        results.update({f"predict_{k}": v for k, v in out["metrics"].items()})
+
+    with open(os.path.join(args.output_dir, "all_results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(json.dumps(results, indent=2, default=float))
+    return results
+
+
+if __name__ == "__main__":
+    main()
