@@ -98,6 +98,73 @@ class Embeddings(nn.Module):
         return x
 
 
+class FusedQKV(nn.Module):
+    """Fused QKV projection with selectable output layout.
+
+    kernel (H, 3, nh, hd), bias (3, nh, hd) — identical param tree to the
+    DenseGeneral it replaces, but able to emit (B, 3, nh, L, hd) directly for
+    the Pallas kernel (XLA folds the transpose into the matmul epilogue;
+    measured free on v5e, unlike a separate transpose pass).
+    """
+
+    num_heads: int
+    head_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: Array, layout: str = "blsnd") -> Array:
+        H = hidden.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(
+                in_axis=0, out_axis=(2, 3), batch_axis=(1,)
+            ),
+            (H, 3, self.num_heads, self.head_dim),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (3, self.num_heads, self.head_dim)
+        )
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if layout == "blsnd":
+            return jnp.einsum("blh,hsnd->blsnd", hidden, kernel) + bias
+        if layout == "bsnld":
+            return (
+                jnp.einsum("blh,hsnd->bsnld", hidden, kernel)
+                + bias[None, :, :, None, :]
+            )
+        raise ValueError(layout)
+
+
+class AttnOutProj(nn.Module):
+    """Output projection consuming (B, L, nh, hd) or (B, nh, L, hd).
+
+    kernel (nh, hd, H), bias (H,) — same param tree as DenseGeneral(axis=(-2,-1)).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ctx: Array, layout: str = "blnd") -> Array:
+        nh, hd = (ctx.shape[-2], ctx.shape[-1]) if layout == "blnd" else (
+            ctx.shape[1],
+            ctx.shape[-1],
+        )
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
+            (nh, hd, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        if layout == "blnd":
+            return jnp.einsum("blnd,ndh->blh", ctx, kernel) + bias.astype(self.dtype)
+        if layout == "bnld":
+            return jnp.einsum("bnld,ndh->blh", ctx, kernel) + bias.astype(self.dtype)
+        raise ValueError(layout)
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention with a fused QKV projection.
 
@@ -125,17 +192,31 @@ class SelfAttention(nn.Module):
         B, L, H = hidden.shape
         nh, hd = cfg.num_heads, cfg.head_dim
 
-        qkv = nn.DenseGeneral(
-            features=(3, nh, hd), axis=-1, dtype=self.dtype, name="qkv"
-        )(hidden)  # (B, L, 3, nh, hd)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (B, L, nh, hd)
+        qkv_proj = FusedQKV(nh, hd, dtype=self.dtype, name="qkv")
+        out_layout = "blnd"
 
         probs = None
-        if use_flash:
+        if cfg.attention_impl == "pallas" and flash_segment_ids is not None:
+            from spokennlp_tpu.ops.pallas.blhd_attention import snld_self_attention
+
+            qkv = qkv_proj(hidden, layout="bsnld")  # (B, 3, nh, L, hd)
+            interpret = jax.default_backend() == "cpu"
+            ctx = snld_self_attention(
+                qkv,
+                flash_segment_ids,
+                sm_scale=1.0 / float(hd) ** 0.5,
+                interpret=interpret,
+            )  # (B, nh, L, hd)
+            out_layout = "bnld"
+        elif use_flash:
+            qkv = qkv_proj(hidden)  # (B, L, 3, nh, hd)
+            q, k, v = jnp.moveaxis(qkv, 2, 0)
             ctx = flash_self_attention(
                 q, k, v, flash_segment_ids, sm_scale=1.0 / float(hd) ** 0.5
             )
         else:
+            qkv = qkv_proj(hidden)
+            q, k, v = jnp.moveaxis(qkv, 2, 0)
             scale = 1.0 / jnp.sqrt(jnp.asarray(hd, dtype=self.dtype))
             # (B, nh, L, L)
             scores = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
@@ -150,9 +231,7 @@ class SelfAttention(nn.Module):
             # whole sequence through the dedicated *_global projections, and
             # their output replaces the local-pass rows (HF Longformer
             # semantics; reference usage: longformer_for_ts.py:55-58).
-            qkv_g = nn.DenseGeneral(
-                features=(3, nh, hd), axis=-1, dtype=self.dtype, name="qkv_global"
-            )(hidden)
+            qkv_g = FusedQKV(nh, hd, dtype=self.dtype, name="qkv_global")(hidden)
             qg, kg, vg = jnp.moveaxis(qkv_g, 2, 0)
             scale = 1.0 / jnp.sqrt(jnp.asarray(hd, dtype=self.dtype))
             g_scores = jnp.einsum("blhd,bmhd->bhlm", qg * scale, kg)
@@ -168,9 +247,7 @@ class SelfAttention(nn.Module):
             is_global = global_mask.astype(bool)[:, :, None, None]
             ctx = jnp.where(is_global, g_ctx, ctx)
 
-        out = nn.DenseGeneral(
-            features=H, axis=(-2, -1), dtype=self.dtype, name="out"
-        )(ctx)
+        out = AttnOutProj(H, dtype=self.dtype, name="out")(ctx, layout=out_layout)
         if output_attentions:
             return out, probs
         return out, None
@@ -267,11 +344,16 @@ class Encoder(nn.Module):
             and cfg.attention_impl == "flash"
             and flash_available(L, cfg.head_dim)
         )
+        use_pallas = (
+            cfg.attention_type == "dense"
+            and not output_attentions
+            and cfg.attention_impl == "pallas"
+        )
 
         bias = None
         flash_segment_ids = None
         key_padding_bias = None
-        if use_flash:
+        if use_flash or use_pallas:
             if pack_segment_ids is not None:
                 # pad tokens = 0, window i = i+1 (caller contract)
                 flash_segment_ids = pack_segment_ids

@@ -1,0 +1,117 @@
+"""Fused Pallas self-attention for BERT-scale sequence lengths (v5e).
+
+Motivation (measured on chip): jax's stock flash kernel runs ~48 TFLOPs/s at
+L=512/hd=64 and its BNLH layout costs 4 transposes per layer when fed from a
+(B, L, H) trunk — net SLOWER than plain einsum attention (1022 vs 1140
+windows/s end to end). Two facts fix this:
+
+1. producing the qkv projection directly in (B, 3, nh, L, hd) layout via
+   einsum costs ~nothing extra (XLA folds the transpose into the matmul
+   epilogue: 91 vs 96 TFLOPs/s measured), so the kernel gets its preferred
+   layout for free;
+2. at L=512 the whole (L, L) score matrix fits VMEM, so plain softmax beats
+   the streaming flash recurrence.
+
+The kernel grids over (batch, head-groups); each program computes
+``heads_per_block`` full heads: QK^T (MXU) -> masked softmax (VPU, fp32) ->
+PV (MXU). Masking is segment-id based — padding and window packing share one
+(B, L) tensor (0 = pad, >0 = segment id).
+
+Mosaic constraint notes: every ref slice keeps its trailing two dims free of
+singletons ((L, hd) slabs), which is what the (B, 3, nh, L, hd) layout buys.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def _attn_kernel(seg_ref, qkv_ref, out_ref, *, heads_per_block: int, sm_scale: float):
+    seg = seg_ref[0, 0, :]  # (L,)
+    allowed = (seg[:, None] == seg[None, :]) & (seg[None, :] > 0)
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)  # (L, L)
+
+    for h in range(heads_per_block):
+        q = qkv_ref[0, 0, h]  # (L, hd)
+        k = qkv_ref[0, 1, h]
+        v = qkv_ref[0, 2, h]
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * sm_scale
+        )
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        ctx = jax.lax.dot_general(
+            probs.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, h] = ctx.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "heads_per_block", "interpret")
+)
+def snld_self_attention(
+    qkv: Array,  # (B, 3, nh, L, hd)
+    segment_ids: Array,  # (B, L) int32; 0 = padding, >0 = segment/window id
+    sm_scale: float,
+    heads_per_block: int = 4,
+    interpret: bool = False,
+) -> Array:
+    """Fused non-causal self-attention; returns (B, nh, L, hd).
+
+    Measured on v5e at B=64/L=512/nh=12/hd=64: ~2.4 ms/call — parity with
+    the XLA einsum path (~1.8 ms), both VPU-bound on the 201M-element softmax
+    exp. Kept as an opt-in (`EncoderConfig.attention_impl="pallas"`); the
+    planned win is a software-pipelined variant overlapping head h's softmax
+    with head h+1's QK^T, plus exp-free masking for packed inference.
+    ``interpret=True`` runs on CPU for tests."""
+    from jax.experimental import pallas as pl
+
+    B, three, nh, L, hd = qkv.shape
+    assert three == 3
+    HB = heads_per_block if nh % heads_per_block == 0 else 1
+    groups = nh // HB
+
+    kernel = functools.partial(_attn_kernel, heads_per_block=HB, sm_scale=sm_scale)
+    flops = B * nh * 2 * 2 * L * L * hd
+    return pl.pallas_call(
+        kernel,
+        grid=(B, groups),
+        in_specs=[
+            pl.BlockSpec((1, 1, L), lambda b, g: (b, 0, 0)),
+            pl.BlockSpec((1, 3, HB, L, hd), lambda b, g: (b, 0, g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, HB, L, hd), lambda b, g: (b, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nh, L, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize
+            + B * L * nh * hd * qkv.dtype.itemsize,
+            transcendentals=B * nh * L * L,
+        ),
+        interpret=interpret,
+    )(segment_ids.astype(jnp.int32)[:, None, :], qkv)
+
+
+def reference_snld_attention(qkv: Array, segment_ids: Array, sm_scale: float) -> Array:
+    """XLA reference implementation (test oracle). Same layouts."""
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # (B, nh, L, hd)
+    scores = jnp.einsum(
+        "bnld,bnmd->bnlm", q.astype(jnp.float32) * sm_scale, k.astype(jnp.float32)
+    )
+    seg = segment_ids
+    allowed = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] > 0)
+    scores = jnp.where(allowed[:, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bnlm,bnmd->bnld", probs.astype(v.dtype), v)
