@@ -56,6 +56,8 @@ class TopicSegModel(nn.Module):
         token_type_ids: Optional[Array] = None,
         sent_positions: Optional[Array] = None,
         global_attention_mask: Optional[Array] = None,
+        position_ids: Optional[Array] = None,
+        pack_segment_ids: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Dict[str, Array]:
         if global_attention_mask is None and self.enc_cfg.attention_type == "sliding_window":
@@ -66,6 +68,8 @@ class TopicSegModel(nn.Module):
             attention_mask=attention_mask,
             token_type_ids=token_type_ids,
             global_attention_mask=global_attention_mask,
+            position_ids=position_ids,
+            pack_segment_ids=pack_segment_ids,
             deterministic=deterministic,
         )
         seq = self.head_dropout(out.last_hidden_state, deterministic=deterministic)
