@@ -28,7 +28,38 @@ def main(argv=None):
     common.add_model_args(p)
     common.add_data_args(p)
     common.add_training_args(p)
+    p.add_argument(
+        "--seeds", type=int, nargs="+", default=None,
+        help="multi-seed repeats with mean/std aggregation "
+        "(the reference's `for seed in 42 59 88` loop, run_finetune.sh:50)",
+    )
     args = p.parse_args(argv)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.seeds and len(args.seeds) > 1:
+        from spokennlp_tpu.eval.analysis import compute_avg_std
+
+        per_seed = []
+        keys = None
+        for seed in args.seeds:
+            sub = argparse.Namespace(**vars(args))
+            sub.seeds = None
+            sub.seed = seed
+            sub.output_dir = os.path.join(args.output_dir, f"seed_{seed}")
+            res = main_single(sub)
+            keys = keys or sorted(k for k, v in res.items() if isinstance(v, (int, float)))
+            per_seed.append([float(res.get(k, 0.0)) for k in keys])
+        agg = compute_avg_std(per_seed, keys)
+        with open(os.path.join(args.output_dir, "multi_seed_results.json"), "w") as f:
+            json.dump(agg, f, indent=2)
+        print(json.dumps(agg, indent=2))
+        return agg
+    return main_single(args)
+
+
+def main_single(args):
+    from spokennlp_tpu.cli import common
 
     os.makedirs(args.output_dir, exist_ok=True)
 

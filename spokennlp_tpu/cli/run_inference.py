@@ -63,6 +63,8 @@ def main(argv=None):
         threshold=args.threshold,
         topk=args.topk,
         f1_at_k=args.f1_at_k,
+        ts_score_predictor=args.ts_score_predictor,
+        cos_temp=args.ts_score_predictor_cos_temp,
     )
     t1 = time.time()
     print("predict_time(s): ", t1 - t0)
@@ -76,7 +78,12 @@ def main(argv=None):
         for doc, res in zip(test_docs, out["per_doc"]):
             import numpy as np
 
-            preds = np.argmax(res["scores"], -1).tolist() if len(res["labels"]) else []
+            if not len(res["labels"]):
+                preds = []
+            elif res["scores"].ndim == 2:
+                preds = np.argmax(res["scores"], -1).tolist()
+            else:  # cos predictor: sigmoid-sim > 0.5 -> similar -> O (1)
+                preds = (res["scores"] > 0.5).astype(np.int32).tolist()
             f.write(
                 json.dumps(
                     {

@@ -39,7 +39,12 @@ class EncoderConfig:
     # attention implementation: "auto" picks the Pallas flash kernel on TPU
     # (segment-id masking, no materialized score matrix), einsum elsewhere.
     # Note: the flash path does not apply attention-prob dropout.
-    attention_impl: str = "auto"  # auto | einsum | flash
+    attention_impl: str = "auto"  # auto | einsum | flash | pallas
+    # run the attention softmax in the compute dtype instead of float32.
+    # bf16 softmax measured 32% faster attention on v5e (VPU exp is the
+    # bottleneck at L=512); argmax-based inference is insensitive to the
+    # precision loss. Default off for exact HF parity and stable training.
+    softmax_in_compute_dtype: bool = False
     # sliding-window attention (Longformer-style)
     attention_window: int = 512  # one-sided window is attention_window // 2
     # ponet

@@ -76,6 +76,29 @@ def predict_windows(
     return np.concatenate(outs, axis=0)
 
 
+def make_cos_predict_fn(model, params, temp: float):
+    """Window scorer for ts_score_predictor='cos': adjacent-eop cosine sims
+    at labeled sentence slots (reference: utils.py:111-138 + predict path at
+    ts_sentence_seq_labeling.py:1153-1158)."""
+    from spokennlp_tpu.objectives import cssl as cssl_ops
+
+    @functools.partial(jax.jit)
+    def predict(input_ids, attention_mask, token_type_ids, sent_positions, eop_mask, labels):
+        out = model.apply(
+            {"params": params},
+            input_ids,
+            attention_mask=attention_mask,
+            token_type_ids=token_type_ids,
+            deterministic=True,
+        )
+        feats = cssl_ops.gather_sentence_features(out["seq_output"], sent_positions)
+        eop_labels = jnp.take_along_axis(labels, sent_positions, axis=1)
+        sims, _ = cssl_ops.eop_pair_cosine_similarity(feats, eop_labels, eop_mask, temp)
+        return jax.nn.sigmoid(sims.astype(jnp.float32))
+
+    return predict
+
+
 def run_topic_seg_inference(
     model,
     params,
@@ -85,11 +108,15 @@ def run_topic_seg_inference(
     threshold: Optional[float] = None,
     topk: Optional[int] = None,
     f1_at_k: Optional[int] = None,
+    ts_score_predictor: str = "lt",
+    cos_temp: float = 1.0,
 ) -> Dict:
     """Full predict pipeline for a corpus of tokenized documents.
 
     Args:
       docs: each {"sent_token_ids": [[int]], "labels": [int]}.
+      ts_score_predictor: "lt" (token logits) or "cos" (sigmoid of adjacent
+        eop cosine similarity; per-doc scores are 1-d).
 
     Returns:
       {"metrics": {...}, "per_doc": [{"labels", "scores"}]}.
@@ -104,6 +131,51 @@ def run_topic_seg_inference(
             )
         )
     batch = W.stack_windows(windows)
+
+    if ts_score_predictor == "cos":
+        predict_fn = make_cos_predict_fn(model, params, cos_temp)
+        N, K = batch["sent_positions"].shape
+        sims = np.zeros((N, K), np.float32)
+        for s in range(0, N, batch_size):
+            e = min(s + batch_size, N)
+            pad = batch_size - (e - s)
+            parts = []
+            for key in (
+                "input_ids", "attention_mask", "token_type_ids",
+                "sent_positions", "eop_mask", "labels",
+            ):
+                a = batch[key][s:e]
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                parts.append(jnp.asarray(a))
+            sims[s:e] = np.asarray(predict_fn(*parts))[: e - s]
+        # per-doc: one sigmoid-cos score per labeled sentence, window order
+        per_doc = []
+        doc_scores: List[List[float]] = [[] for _ in docs]
+        doc_labels: List[List[int]] = [[] for _ in docs]
+        for wi in range(N):
+            eid = int(batch["example_id"][wi])
+            for k in range(K):
+                if batch["eop_mask"][wi, k]:
+                    doc_scores[eid].append(float(sims[wi, k]))
+                    doc_labels[eid].append(int(batch["sent_labels"][wi, k]))
+        per_doc = [
+            {"labels": np.asarray(l, np.int32), "scores": np.asarray(s, np.float32)}
+            for l, s in zip(doc_labels, doc_scores)
+        ]
+        kept = [
+            (d["scores"], d["labels"].tolist()) for d in per_doc if len(d["labels"])
+        ]
+        metrics = seg_metrics.compute_example_level_metric(
+            [s for s, _ in kept],
+            [l for _, l in kept],
+            threshold=threshold,
+            topk=topk,
+            f1_at_k=f1_at_k,
+            ts_score_predictor="cos",
+        )
+        return {"metrics": metrics, "per_doc": per_doc}
+
     predict_fn = make_predict_fn(model, params)
     logits = predict_windows(predict_fn, batch, batch_size)
     per_doc = W.aggregate_window_predictions(

@@ -222,7 +222,8 @@ class SelfAttention(nn.Module):
             scores = jnp.einsum("blhd,bmhd->bhlm", q * scale, k)
             if attention_bias is not None:
                 scores = scores + attention_bias.astype(scores.dtype)
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            sm_dtype = self.dtype if cfg.softmax_in_compute_dtype else jnp.float32
+            probs = jax.nn.softmax(scores.astype(sm_dtype), axis=-1).astype(self.dtype)
             probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v)
 
