@@ -25,6 +25,9 @@ class EncoderConfig:
 
     vocab_size: int = 30522
     hidden_size: int = 768
+    # ELECTRA-style factorized embeddings: when set and != hidden_size, the
+    # embedding tables use this width and a projection maps to hidden_size
+    embedding_size: Optional[int] = None
     num_layers: int = 12
     num_heads: int = 12
     intermediate_size: int = 3072
@@ -46,7 +49,13 @@ class EncoderConfig:
     # precision loss. Default off for exact HF parity and stable training.
     softmax_in_compute_dtype: bool = False
     # sliding-window attention (Longformer-style)
-    attention_window: int = 512  # one-sided window is attention_window // 2
+    attention_window: int = 512
+    # sliding-window implementation: "bias" materializes an (L, L) mask (fine
+    # to ~1k tokens, exact HF semantics); "chunked" is the O(L * window)
+    # banded implementation enabling 4096-token contexts; "auto" picks
+    # chunked when L > 1024.
+    sliding_window_impl: str = "auto"  # auto | bias | chunked
+    max_global_tokens: int = 16  # static cap for the chunked global path  # one-sided window is attention_window // 2
     # ponet
     ponet_local_window: int = 3
     # embedding variant: "absolute" learned positions (BERT family)

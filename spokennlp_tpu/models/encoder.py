@@ -67,8 +67,9 @@ class Embeddings(nn.Module):
     ) -> Array:
         cfg = self.config
         B, L = input_ids.shape
+        E = cfg.embedding_size or cfg.hidden_size
         word_emb = nn.Embed(
-            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="word_embeddings"
+            cfg.vocab_size, E, dtype=self.dtype, name="word_embeddings"
         )(input_ids)
         if position_ids is None:
             if cfg.position_style == "roberta":
@@ -79,7 +80,7 @@ class Embeddings(nn.Module):
                 position_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
         pos_emb = nn.Embed(
             cfg.max_position_embeddings,
-            cfg.hidden_size,
+            E,
             dtype=self.dtype,
             name="position_embeddings",
         )(position_ids)
@@ -89,12 +90,15 @@ class Embeddings(nn.Module):
                 token_type_ids = jnp.zeros_like(input_ids)
             x = x + nn.Embed(
                 cfg.type_vocab_size,
-                cfg.hidden_size,
+                E,
                 dtype=self.dtype,
                 name="token_type_embeddings",
             )(token_type_ids)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        if E != cfg.hidden_size:
+            # ELECTRA-style projection to the trunk width
+            x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="embeddings_project")(x)
         return x
 
 
@@ -187,6 +191,7 @@ class SelfAttention(nn.Module):
         use_flash: bool = False,
         global_mask: Optional[Array] = None,
         key_padding_bias: Optional[Array] = None,
+        raw_attention_mask: Optional[Array] = None,
     ):
         cfg = self.config
         B, L, H = hidden.shape
@@ -194,9 +199,31 @@ class SelfAttention(nn.Module):
 
         qkv_proj = FusedQKV(nh, hd, dtype=self.dtype, name="qkv")
         out_layout = "blnd"
+        sliding_chunked = (
+            cfg.attention_type == "sliding_window" and raw_attention_mask is not None
+        )
 
         probs = None
-        if cfg.attention_impl == "pallas" and flash_segment_ids is not None:
+        if sliding_chunked:
+            from spokennlp_tpu.ops.sliding_attention import (
+                chunked_sliding_window_attention,
+            )
+
+            qkv = qkv_proj(hidden)
+            q, k, v = jnp.moveaxis(qkv, 2, 0)
+            ctx = chunked_sliding_window_attention(
+                q,
+                k,
+                v,
+                raw_attention_mask,
+                global_mask,
+                cfg.attention_window,
+                max_globals=cfg.max_global_tokens,
+                softmax_dtype=(
+                    self.dtype if cfg.softmax_in_compute_dtype else jnp.float32
+                ),
+            ).astype(self.dtype)
+        elif cfg.attention_impl == "pallas" and flash_segment_ids is not None:
             from spokennlp_tpu.ops.pallas.blhd_attention import snld_self_attention
 
             qkv = qkv_proj(hidden, layout="bsnld")  # (B, 3, nh, L, hd)
@@ -235,18 +262,44 @@ class SelfAttention(nn.Module):
             qkv_g = FusedQKV(nh, hd, dtype=self.dtype, name="qkv_global")(hidden)
             qg, kg, vg = jnp.moveaxis(qkv_g, 2, 0)
             scale = 1.0 / jnp.sqrt(jnp.asarray(hd, dtype=self.dtype))
-            g_scores = jnp.einsum("blhd,bmhd->bhlm", qg * scale, kg)
-            if key_padding_bias is not None:
-                g_scores = g_scores + key_padding_bias.astype(g_scores.dtype)
-            g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1).astype(
-                self.dtype
-            )
-            g_probs = nn.Dropout(cfg.attention_dropout)(
-                g_probs, deterministic=deterministic
-            )
-            g_ctx = jnp.einsum("bhlm,bmhd->blhd", g_probs, vg)
-            is_global = global_mask.astype(bool)[:, :, None, None]
-            ctx = jnp.where(is_global, g_ctx, ctx)
+            if sliding_chunked:
+                # O(G * L): only the (static-capped) global rows are computed
+                G = cfg.max_global_tokens
+                is_g = global_mask.astype(bool) & raw_attention_mask.astype(bool)
+                g_idx = jnp.argsort(-is_g.astype(jnp.int32), axis=1, stable=True)[:, :G]
+                g_valid = jnp.take_along_axis(is_g, g_idx, axis=1)  # (B, G)
+                gather_rows = lambda x: jnp.take_along_axis(
+                    x, g_idx[:, :, None, None].repeat(nh, 2).repeat(hd, 3), axis=1
+                )
+                qg_rows = gather_rows(qg)  # (B, G, nh, hd)
+                g_scores = jnp.einsum("bghd,bmhd->bhgm", qg_rows * scale, kg)
+                pad_bias = (
+                    1.0 - raw_attention_mask[:, None, None, :].astype(jnp.float32)
+                ) * NEG_INF
+                g_scores = g_scores + pad_bias.astype(g_scores.dtype)
+                g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1).astype(
+                    self.dtype
+                )
+                g_probs = nn.Dropout(cfg.attention_dropout)(
+                    g_probs, deterministic=deterministic
+                )
+                g_rows_ctx = jnp.einsum("bhgm,bmhd->bghd", g_probs, vg)
+                existing = gather_rows(ctx)
+                vals = jnp.where(g_valid[:, :, None, None], g_rows_ctx, existing)
+                ctx = ctx.at[jnp.arange(B)[:, None], g_idx].set(vals)
+            else:
+                g_scores = jnp.einsum("blhd,bmhd->bhlm", qg * scale, kg)
+                if key_padding_bias is not None:
+                    g_scores = g_scores + key_padding_bias.astype(g_scores.dtype)
+                g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1).astype(
+                    self.dtype
+                )
+                g_probs = nn.Dropout(cfg.attention_dropout)(
+                    g_probs, deterministic=deterministic
+                )
+                g_ctx = jnp.einsum("bhlm,bmhd->blhd", g_probs, vg)
+                is_global = global_mask.astype(bool)[:, :, None, None]
+                ctx = jnp.where(is_global, g_ctx, ctx)
 
         out = AttnOutProj(H, dtype=self.dtype, name="out")(ctx, layout=out_layout)
         if output_attentions:
@@ -271,6 +324,7 @@ class TransformerLayer(nn.Module):
         use_flash: bool = False,
         global_mask: Optional[Array] = None,
         key_padding_bias: Optional[Array] = None,
+        raw_attention_mask: Optional[Array] = None,
     ):
         cfg = self.config
         attn_out, probs = SelfAttention(cfg, dtype=self.dtype, name="attention")(
@@ -282,6 +336,7 @@ class TransformerLayer(nn.Module):
             use_flash=use_flash,
             global_mask=global_mask,
             key_padding_bias=key_padding_bias,
+            raw_attention_mask=raw_attention_mask,
         )
         attn_out = nn.Dropout(cfg.hidden_dropout)(attn_out, deterministic=deterministic)
         hidden = nn.LayerNorm(
@@ -354,6 +409,7 @@ class Encoder(nn.Module):
         bias = None
         flash_segment_ids = None
         key_padding_bias = None
+        sliding_chunked = False
         if use_flash or use_pallas:
             if pack_segment_ids is not None:
                 # pad tokens = 0, window i = i+1 (caller contract)
@@ -366,12 +422,21 @@ class Encoder(nn.Module):
                 same = pack_segment_ids[:, :, None] == pack_segment_ids[:, None, :]
                 bias = bias + jnp.where(same, 0.0, NEG_INF)[:, None, :, :]
         elif cfg.attention_type == "sliding_window":
-            bias = sliding_window_attention_mask_bias(
-                attention_mask,
-                window=cfg.attention_window,
-                global_mask=global_attention_mask,
-                neg_inf=NEG_INF,
-            )[:, None, :, :]
+            impl = cfg.sliding_window_impl
+            if impl == "auto":
+                impl = "chunked" if L > 1024 else "bias"
+            if impl == "chunked" and L % max(cfg.attention_window // 2, 1) == 0:
+                # banded O(L * window) path; bias stays None and SelfAttention
+                # dispatches on (attention_mask, global_mask) directly
+                sliding_chunked = True
+            else:
+                sliding_chunked = False
+                bias = sliding_window_attention_mask_bias(
+                    attention_mask,
+                    window=cfg.attention_window,
+                    global_mask=global_attention_mask,
+                    neg_inf=NEG_INF,
+                )[:, None, :, :]
             key_padding_bias = (
                 (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
             )
@@ -400,6 +465,7 @@ class Encoder(nn.Module):
                     else None
                 ),
                 key_padding_bias=key_padding_bias,
+                raw_attention_mask=attention_mask if sliding_chunked else None,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

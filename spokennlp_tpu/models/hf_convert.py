@@ -110,6 +110,40 @@ def bert_to_encoder_params(
     return params
 
 
+def electra_to_encoder_params(
+    sd: Dict[str, np.ndarray], cfg: EncoderConfig, prefix: str = ""
+) -> Dict:
+    """HF ElectraModel: BERT layout + optional embeddings_project, no pooler."""
+    params = bert_to_encoder_params(sd, cfg, prefix)
+    key = prefix + "embeddings_project.weight"
+    if key in sd:
+        params["embeddings"]["embeddings_project"] = _linear(
+            sd, prefix + "embeddings_project"
+        )
+    return params
+
+
+def hf_electra_config_to_encoder_config(hf_config, **overrides) -> EncoderConfig:
+    kwargs = dict(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        embedding_size=hf_config.embedding_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        intermediate_size=hf_config.intermediate_size,
+        max_position_embeddings=hf_config.max_position_embeddings,
+        type_vocab_size=hf_config.type_vocab_size,
+        layer_norm_eps=hf_config.layer_norm_eps,
+        hidden_dropout=hf_config.hidden_dropout_prob,
+        attention_dropout=hf_config.attention_probs_dropout_prob,
+        hidden_act=hf_config.hidden_act,
+        pad_token_id=hf_config.pad_token_id or 0,
+        add_pooler=False,
+    )
+    kwargs.update(overrides)
+    return EncoderConfig(**kwargs)
+
+
 def longformer_to_encoder_params(
     sd: Dict[str, np.ndarray], cfg: EncoderConfig, prefix: str = ""
 ) -> Dict:

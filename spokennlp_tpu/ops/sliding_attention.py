@@ -53,3 +53,114 @@ def sliding_window_attention_mask_bias(
     valid_key = attention_mask.astype(bool)[:, None, :]
     allowed = allowed & valid_key
     return jnp.where(allowed, 0.0, neg_inf).astype(jnp.float32)
+
+
+def chunked_sliding_window_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    attention_mask: Array,
+    global_mask: Optional[Array],
+    window: int,
+    max_globals: int = 16,
+    neg_inf: float = -1e9,
+    softmax_dtype=jnp.float32,
+):
+    """Memory-efficient sliding-window + global-key attention (local pass).
+
+    Never materializes (L, L): queries are processed in chunks of C = window
+    // 2 tokens, each attending to the 3 neighboring key chunks (covering the
+    +/- C window exactly) plus up to ``max_globals`` global keys. Score
+    memory is O(L * (3C + G) * nh) — ~5x smaller than dense at L=4096 —
+    which is what makes Longformer training at 4096 feasible on one chip.
+
+    Semantics match :func:`sliding_window_attention_mask_bias` for NON-GLOBAL
+    query rows (the union of window and global keys, no double counting);
+    global query rows must be overwritten by the caller's global pass.
+
+    Args:
+      q, k, v: (B, L, nh, hd); L must be a multiple of window // 2.
+      attention_mask: (B, L) 1 = real token.
+      global_mask: (B, L) 1 = global token (or None for pure window).
+      window: total window size (one-sided = window // 2).
+      max_globals: static cap on global tokens per row (CLS-only needs 1).
+
+    Returns:
+      (B, L, nh, hd) context for all rows (global rows contain the LOCAL
+      result and must be replaced by the global pass).
+    """
+    B, L, nh, hd = q.shape
+    C = window // 2
+    assert L % C == 0, (L, C)
+    nc = L // C
+    G = max_globals
+    scale = 1.0 / jnp.asarray(hd, jnp.float32) ** 0.5
+
+    valid = attention_mask.astype(bool)
+    if global_mask is None:
+        global_mask = jnp.zeros_like(attention_mask)
+    is_global = global_mask.astype(bool) & valid
+
+    # ---- local key context: chunks [i-1, i, i+1] per query chunk
+    def ctx_windows(x):  # (B, L, nh, hd) -> (B, nc, 3C, nh, hd)
+        xp = jnp.pad(x, ((0, 0), (C, C), (0, 0), (0, 0)))
+        slabs = [xp[:, off * C : off * C + L] for off in range(3)]
+        stacked = jnp.stack(slabs, axis=1)  # (B, 3, L, nh, hd)
+        chunked = stacked.reshape(B, 3, nc, C, nh, hd)
+        return jnp.moveaxis(chunked, 1, 2).reshape(B, nc, 3 * C, nh, hd)
+
+    k_ctx = ctx_windows(k)
+    v_ctx = ctx_windows(v)
+
+    # key-side masks on the same (nc, 3C) grid
+    key_flags = jnp.stack(
+        [
+            jnp.pad(valid, ((0, 0), (C, C))),
+            jnp.pad(is_global, ((0, 0), (C, C))),
+        ],
+        axis=1,
+    ).astype(jnp.int32)  # (B, 2, L + 2C)
+    flag_slabs = [key_flags[:, :, off * C : off * C + L] for off in range(3)]
+    flags = jnp.stack(flag_slabs, axis=2).reshape(B, 2, 3, nc, C)
+    flags = jnp.moveaxis(flags, 2, 3).reshape(B, 2, nc, 3 * C)
+    key_valid = flags[:, 0].astype(bool)  # (B, nc, 3C)
+    key_is_global = flags[:, 1].astype(bool)
+
+    # relative-position band: query ci in [0, C), key cj in [0, 3C) sits at
+    # relative offset (cj - C) - ci; allowed iff |offset| <= C
+    ci = jnp.arange(C)[:, None]
+    cj = jnp.arange(3 * C)[None, :]
+    band = jnp.abs((cj - C) - ci) <= C  # (C, 3C)
+
+    q_chunks = q.reshape(B, nc, C, nh, hd)
+    local_scores = jnp.einsum(
+        "bicnd,bijnd->bnicj", q_chunks.astype(jnp.float32) * scale, k_ctx.astype(jnp.float32)
+    )  # (B, nh, nc, C, 3C)
+    local_ok = band[None, None, None] & key_valid[:, None, :, None, :] & ~key_is_global[
+        :, None, :, None, :
+    ]
+    local_scores = jnp.where(local_ok, local_scores, neg_inf)
+
+    # ---- global keys (top-G positions of global_mask)
+    g_scores_part = None
+    if G > 0:
+        g_rank = jnp.argsort(-is_global.astype(jnp.int32), axis=1, stable=True)
+        g_idx = g_rank[:, :G]  # (B, G)
+        g_valid = jnp.take_along_axis(is_global, g_idx, axis=1)  # (B, G)
+        kg = jnp.take_along_axis(k, g_idx[:, :, None, None].repeat(nh, 2).repeat(hd, 3), axis=1)
+        vg = jnp.take_along_axis(v, g_idx[:, :, None, None].repeat(nh, 2).repeat(hd, 3), axis=1)
+        g_scores = jnp.einsum(
+            "bicnd,bgnd->bnicg", q_chunks.astype(jnp.float32) * scale, kg.astype(jnp.float32)
+        )  # (B, nh, nc, C, G)
+        g_scores = jnp.where(g_valid[:, None, None, None, :], g_scores, neg_inf)
+        all_scores = jnp.concatenate([local_scores, g_scores], axis=-1)
+    else:
+        all_scores = local_scores
+
+    probs = jax.nn.softmax(all_scores.astype(softmax_dtype), axis=-1)
+    p_local = probs[..., : 3 * C].astype(v.dtype)
+    ctx = jnp.einsum("bnicj,bijnd->bicnd", p_local, v_ctx)
+    if G > 0:
+        p_g = probs[..., 3 * C :].astype(v.dtype)
+        ctx = ctx + jnp.einsum("bnicg,bgnd->bicnd", p_g, vg)
+    return ctx.reshape(B, L, nh, hd)

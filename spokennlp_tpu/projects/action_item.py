@@ -251,3 +251,42 @@ def aid_loss(logits: Array, labels: Array, cfg: AidConfig, training: bool = True
     loss_kl = jnp.mean(kl12 + kl21) / 2.0
     aux["kl"] = loss_kl
     return loss_ce + cfg.kl_alpha * loss_kl, aux
+
+
+def make_aid_train_step(model: "AidModel", cfg: AidConfig, tx):
+    """Jitted train step; batch rows must interleave consistency pairs."""
+    import optax
+    from spokennlp_tpu.train.train_step import TrainState
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["token_type_ids"],
+            batch["sep_position"],
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        return aid_loss(logits, batch["label"], cfg, training=True)
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            {"loss": loss, **aux},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def collate_examples(
+    examples: Sequence[Dict], tokenize_fn, cfg: AidConfig, cls_id: int, sep_id: int
+) -> Dict[str, np.ndarray]:
+    feats = [featurize_example(e, tokenize_fn, cfg, cls_id, sep_id) for e in examples]
+    return {k: np.stack([f[k] for f in feats]) for k in feats[0]}

@@ -118,6 +118,21 @@ def featurize_video(
     return out
 
 
+def make_mmvts_pretrain_step(model: MMVTSModel, tx, align_pairs=None, cl_temp=0.1):
+    """Modality-alignment pretraining (reference: mmvts/src/pretrain.py):
+    only the cross-modal InfoNCE objective, no segmentation loss."""
+    return make_mmvts_train_step(
+        model,
+        tx,
+        loss_kwargs=dict(
+            ts_lw=0.0,
+            do_modality_cl=True,
+            align_pairs=align_pairs or {"tv": 1.0, "av": 1.0, "at": 1.0},
+            cl_temp=cl_temp,
+        ),
+    )
+
+
 def make_mmvts_train_step(model: MMVTSModel, tx, loss_kwargs: Dict):
     """Jitted train step over the multimodal composite objective."""
     import optax

@@ -134,6 +134,39 @@ def stack_eos_windows(windows: Sequence[EosWindow]) -> Dict[str, np.ndarray]:
     return out
 
 
+def make_ponet_train_step(model, tx):
+    """Jitted train step for PoNet token classification (masked CE on the
+    labeled EOS positions; reference: modeling_ponet.py:85-97)."""
+    import jax
+    import optax
+
+    from spokennlp_tpu.ops.losses import cross_entropy_with_ignore
+    from spokennlp_tpu.train.train_step import TrainState
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["attention_mask"],
+            segment_ids=batch["segment_ids"],
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        return cross_entropy_with_ignore(out["token_logits"], batch["labels"])
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+            {"loss": loss},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def predict_boundaries(
     model,
     params,
