@@ -179,10 +179,18 @@ def build_configs(args, special):
 
 
 def maybe_load_pretrained(args, enc_cfg):
-    """HF torch checkpoint dir -> converted trunk params, else None."""
+    """Checkpoint dir -> (config, trunk params), else None.
+
+    Accepts framework-native checkpoints (params.msgpack + config.json) and
+    HF torch checkpoint dirs (converted on the fly)."""
     path = args.model_name_or_path
     if not path or not os.path.isdir(path):
         return None
+    from spokennlp_tpu.models import checkpoint_io
+
+    if checkpoint_io.is_native_checkpoint(path):
+        params, cfg = checkpoint_io.load_checkpoint(path)
+        return (cfg or enc_cfg), params
     try:
         import torch
         from transformers import AutoConfig, AutoModel

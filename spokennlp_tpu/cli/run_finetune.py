@@ -91,11 +91,13 @@ def main_single(args):
         log_path=os.path.join(args.output_dir, "metrics.jsonl"),
     )
     if pretrained is not None:
-        # graft converted trunk weights under the task model's encoder scope
-        merged = dict(trainer.state.params)
-        merged["encoder"] = trunk_params
         from spokennlp_tpu.train.train_step import create_train_state
 
+        if "encoder" in trunk_params:  # native full task-model checkpoint
+            merged = trunk_params
+        else:  # converted HF trunk: graft under the encoder scope
+            merged = dict(trainer.state.params)
+            merged["encoder"] = trunk_params
         trainer.state = create_train_state(merged, trainer.tx)
 
     if args.resume_from_checkpoint or trainer.restore_latest():
@@ -104,6 +106,13 @@ def main_single(args):
     results = {}
     if args.do_train:
         results.update(trainer.train())
+        from spokennlp_tpu.models import checkpoint_io
+
+        checkpoint_io.save_checkpoint(
+            os.path.join(args.output_dir, "final_model"),
+            trainer.state.params,
+            enc_cfg,
+        )
     if args.do_eval:
         results.update({f"eval_{k}": v for k, v in trainer.evaluate().items()})
     if args.do_predict and "test" in docs:

@@ -50,8 +50,11 @@ def main(argv=None):
     )["params"]
     if pretrained is not None:
         enc_cfg2, trunk_params = pretrained
-        params = dict(params)
-        params["encoder"] = trunk_params
+        if "encoder" in trunk_params:  # native full task-model checkpoint
+            params = trunk_params
+        else:
+            params = dict(params)
+            params["encoder"] = trunk_params
 
     t0 = time.time()
     out = run_topic_seg_inference(
