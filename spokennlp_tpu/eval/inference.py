@@ -26,7 +26,7 @@ import numpy as np
 from spokennlp_tpu.data import windowing as W
 
 
-def make_predict_fn(model, params, donate: bool = False):
+def make_predict_fn(model, params):
     """Build the jitted window-scoring function: batch -> token logits."""
 
     @functools.partial(jax.jit)

@@ -353,10 +353,6 @@ class TransformerLayer(nn.Module):
         return hidden, probs
 
 
-class PoNetLayerStub(nn.Module):
-    """Placeholder — real PoNet mixer lands in models/ponet.py."""
-
-
 class Encoder(nn.Module):
     """The trunk: embeddings → N transformer layers → optional pooler.
 

@@ -142,7 +142,6 @@ def chunked_sliding_window_attention(
     local_scores = jnp.where(local_ok, local_scores, neg_inf)
 
     # ---- global keys (top-G positions of global_mask)
-    g_scores_part = None
     if G > 0:
         g_rank = jnp.argsort(-is_global.astype(jnp.int32), axis=1, stable=True)
         g_idx = g_rank[:, :G]  # (B, G)
