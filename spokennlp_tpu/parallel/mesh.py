@@ -58,6 +58,9 @@ def param_partition_spec(path: tuple, value) -> P:
         return P(None, MODEL_AXIS) if leaf == "kernel" else P(MODEL_AXIS)
     if "mlp_out" in names:
         return P(MODEL_AXIS, None) if leaf == "kernel" else P(None)
+    if leaf in ("w_in", "w_out") and any("moe" in n for n in names):
+        # expert parallelism: MoE expert stacks (E, ...) shard on "model"
+        return P(MODEL_AXIS, *([None] * (ndim - 1)))
     return P(*([None] * ndim))
 
 
