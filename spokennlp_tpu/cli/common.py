@@ -210,6 +210,43 @@ def maybe_load_pretrained(args, enc_cfg):
         return None
 
 
+def resize_word_embeddings(params, enc_cfg, new_vocab_size: int, seed: int = 0):
+    """Grow word_embeddings to ``new_vocab_size`` rows; returns (params, cfg).
+
+    The reference calls model.resize_token_embeddings(len(tokenizer)) after
+    adding the [BOS] special token (ts_sentence_seq_labeling.py:282-284);
+    without this, the new token id silently aliases the last vocab row
+    (jnp.take clamps out-of-range indices). New rows are drawn N(0, 0.02)
+    like HF's resize. Accepts either a trunk param dict (embeddings at the
+    top) or a full task-model dict (under "encoder")."""
+    import dataclasses
+
+    trunk = params.get("encoder", params)
+    emb = np.asarray(trunk["embeddings"]["word_embeddings"]["embedding"])
+    old_vocab, width = emb.shape
+    if new_vocab_size <= old_vocab:
+        if enc_cfg.vocab_size != old_vocab:
+            enc_cfg = dataclasses.replace(enc_cfg, vocab_size=old_vocab)
+        return params, enc_cfg
+    extra = (
+        np.random.default_rng(seed)
+        .normal(0.0, 0.02, size=(new_vocab_size - old_vocab, width))
+        .astype(emb.dtype)
+    )
+    new_trunk = dict(trunk)
+    new_emb_scope = dict(trunk["embeddings"])
+    new_emb_scope["word_embeddings"] = {
+        "embedding": np.concatenate([emb, extra], axis=0)
+    }
+    new_trunk["embeddings"] = new_emb_scope
+    if "encoder" in params:
+        params = dict(params)
+        params["encoder"] = new_trunk
+    else:
+        params = new_trunk
+    return params, dataclasses.replace(enc_cfg, vocab_size=new_vocab_size)
+
+
 def load_docs(args, tokenize_fn):
     from spokennlp_tpu.data import corpora
 

@@ -72,6 +72,11 @@ def main_single(args):
     params = None
     if pretrained is not None:
         enc_cfg, trunk_params = pretrained
+        # tokenizer may have grown (e.g. [BOS] added): resize embeddings so
+        # new token ids don't clamp-alias the last pretrained vocab row
+        trunk_params, enc_cfg = common.resize_word_embeddings(
+            trunk_params, enc_cfg, special["vocab_size"], seed=args.seed
+        )
 
     from spokennlp_tpu.models.topic_seg import TopicSegModel
     from spokennlp_tpu.train.trainer import TopicSegTrainer
@@ -100,7 +105,19 @@ def main_single(args):
             merged["encoder"] = trunk_params
         trainer.state = create_train_state(merged, trainer.tx)
 
-    if args.resume_from_checkpoint or trainer.restore_latest():
+    # --resume_from_checkpoint names an explicit checkpoint root; otherwise
+    # auto-detect the newest checkpoint under the output dir (HF
+    # get_last_checkpoint semantics, ts_sentence_seq_labeling.py:117-129).
+    restored = False
+    if args.resume_from_checkpoint:
+        restored = trainer.restore_latest(args.resume_from_checkpoint)
+        if not restored:
+            print(
+                f"[warn] no checkpoint found at {args.resume_from_checkpoint}"
+            )
+    if not restored:
+        restored = trainer.restore_latest()
+    if restored:
         print("resumed from checkpoint")
 
     results = {}

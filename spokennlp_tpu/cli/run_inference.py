@@ -30,6 +30,13 @@ def main(argv=None):
     tokenize_fn, special = common.resolve_tokenizer(args)
     enc_cfg, task_cfg, wcfg, tcfg = common.build_configs(args, special)
     pretrained = common.maybe_load_pretrained(args, enc_cfg)
+    if pretrained is not None:
+        enc_cfg2, trunk_params = pretrained
+        trunk_params, enc_cfg2 = common.resize_word_embeddings(
+            trunk_params, enc_cfg2, special["vocab_size"], seed=tcfg.seed
+        )
+        pretrained = (enc_cfg2, trunk_params)
+        enc_cfg = enc_cfg2
 
     from spokennlp_tpu.models.topic_seg import TopicSegModel
     from spokennlp_tpu.eval.inference import run_topic_seg_inference

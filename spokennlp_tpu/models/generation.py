@@ -181,8 +181,22 @@ def beam_generate(
         seqs = jnp.take_along_axis(seqs, beam_idx[..., None], axis=1)
         n_real = jnp.take_along_axis(n_real, beam_idx, axis=1)
         finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+        # freeze each beam's length when it finishes so the length penalty can
+        # differentiate hypotheses that ended at different steps (HF
+        # normalizes each hypothesis by its own length at finish time); the
+        # step that emits EOS still counts, later eos-padding steps do not.
+        still_going = ~finished
         finished = finished | (tok_idx == eos_id)
-        return t + 1, seqs, cache, am_full, tok_idx, n_real + 1, new_scores, finished
+        return (
+            t + 1,
+            seqs,
+            cache,
+            am_full,
+            tok_idx,
+            n_real + still_going.astype(n_real.dtype),
+            new_scores,
+            finished,
+        )
 
     def cond(state):
         t = state[0]

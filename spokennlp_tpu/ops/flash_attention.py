@@ -25,7 +25,14 @@ def flash_available(seq_len: int, head_dim: int) -> bool:
     backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
         return False
-    return seq_len % 128 == 0 and head_dim % 8 == 0
+    # _block_sizes picks block = min(seq_len, 512); the kernel requires the
+    # sequence to divide evenly into blocks (L in {640, 1152, ...} would pass
+    # a %128 check but raise at runtime).
+    return (
+        seq_len % 128 == 0
+        and seq_len % min(seq_len, 512) == 0
+        and head_dim % 8 == 0
+    )
 
 
 @functools.lru_cache(maxsize=None)

