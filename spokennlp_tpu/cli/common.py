@@ -83,6 +83,13 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--resume_from_checkpoint", default=None)
     g.add_argument("--overwrite_output_dir", action="store_true")
     g.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    # SPMD: data-parallel over all local devices by default (the reference's
+    # torch.distributed.launch DDP); optional tensor-parallel axis + explicit
+    # multi-host bootstrap
+    g.add_argument("--model_parallel_size", type=int, default=1)
+    g.add_argument("--jax_distributed", action="store_true",
+                   help="call jax.distributed.initialize (multi-host; "
+                   "coordinator from JAX_COORDINATOR_ADDRESS et al.)")
 
 
 def resolve_tokenizer(args) -> Tuple[Callable[[str], List[int]], dict]:
@@ -174,8 +181,17 @@ def build_configs(args, special):
         dtype=args.dtype,
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
         save_total_limit=args.save_total_limit,
+        model_parallel_size=getattr(args, "model_parallel_size", 1),
     )
     return enc, task, wcfg, tcfg
+
+
+def maybe_init_distributed(args):
+    """Multi-host bootstrap behind --jax_distributed (no-op single-host)."""
+    if getattr(args, "jax_distributed", False):
+        from spokennlp_tpu.parallel import dist
+
+        dist.initialize_distributed()
 
 
 def maybe_load_pretrained(args, enc_cfg):

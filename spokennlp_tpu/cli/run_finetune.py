@@ -65,6 +65,7 @@ def main_single(args):
 
     import jax.numpy as jnp
 
+    common.maybe_init_distributed(args)
     tokenize_fn, special = common.resolve_tokenizer(args)
     enc_cfg, task_cfg, wcfg, tcfg = common.build_configs(args, special)
 
@@ -96,6 +97,7 @@ def main_single(args):
         log_path=os.path.join(args.output_dir, "metrics.jsonl"),
     )
     if pretrained is not None:
+        from spokennlp_tpu.parallel import mesh as mesh_lib
         from spokennlp_tpu.train.train_step import create_train_state
 
         if "encoder" in trunk_params:  # native full task-model checkpoint
@@ -103,6 +105,7 @@ def main_single(args):
         else:  # converted HF trunk: graft under the encoder scope
             merged = dict(trainer.state.params)
             merged["encoder"] = trunk_params
+        merged = mesh_lib.shard_params(merged, trainer.mesh)
         trainer.state = create_train_state(merged, trainer.tx)
 
     # --resume_from_checkpoint names an explicit checkpoint root; otherwise

@@ -27,6 +27,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    common.maybe_init_distributed(args)
     tokenize_fn, special = common.resolve_tokenizer(args)
     enc_cfg, task_cfg, wcfg, tcfg = common.build_configs(args, special)
     pretrained = common.maybe_load_pretrained(args, enc_cfg)
@@ -63,13 +64,20 @@ def main(argv=None):
             params = dict(params)
             params["encoder"] = trunk_params
 
+    from spokennlp_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(args.model_parallel_size)
+    params = mesh_lib.shard_params(params, mesh)
+    dp = mesh.shape[mesh_lib.DATA_AXIS]
+
     t0 = time.time()
     out = run_topic_seg_inference(
         model,
         params,
         test_docs,
         wcfg,
-        batch_size=args.per_device_eval_batch_size,
+        mesh=mesh,
+        batch_size=args.per_device_eval_batch_size * dp,
         threshold=args.threshold,
         topk=args.topk,
         f1_at_k=args.f1_at_k,

@@ -134,6 +134,10 @@ class TrainConfig:
     eval_cnt: int = 5  # number of evals over training (reference eval_steps calc)
     checkpoint_dir: Optional[str] = None
     save_total_limit: int = 2
+    # SPMD mesh: data-parallel over all local devices by default (the
+    # reference's torch.distributed.launch DDP, run_finetune.sh:61); set
+    # model_parallel_size > 1 for a second tensor-parallel axis.
+    model_parallel_size: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,10 +26,20 @@ import numpy as np
 from spokennlp_tpu.data import windowing as W
 
 
-def make_predict_fn(model, params):
-    """Build the jitted window-scoring function: batch -> token logits."""
+def make_predict_fn(model, params, mesh=None):
+    """Build the jitted window-scoring function: batch -> token logits.
 
-    @functools.partial(jax.jit)
+    With ``mesh``, inputs are sharded batch-wise over the data axis so eval
+    runs SPMD over all devices like the train step (the reference evaluates
+    under the same DDP world it trains in)."""
+    jit_kwargs = {}
+    if mesh is not None:
+        from spokennlp_tpu.parallel import mesh as mesh_lib
+
+        sh = mesh_lib.batch_sharding(mesh)
+        jit_kwargs["in_shardings"] = (sh, sh, sh)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def predict(input_ids, attention_mask, token_type_ids):
         out = model.apply(
             {"params": params},
@@ -110,6 +120,7 @@ def run_topic_seg_inference(
     f1_at_k: Optional[int] = None,
     ts_score_predictor: str = "lt",
     cos_temp: float = 1.0,
+    mesh=None,
 ) -> Dict:
     """Full predict pipeline for a corpus of tokenized documents.
 
@@ -176,7 +187,12 @@ def run_topic_seg_inference(
         )
         return {"metrics": metrics, "per_doc": per_doc}
 
-    predict_fn = make_predict_fn(model, params)
+    if mesh is not None:
+        # round the device batch up so every batch splits evenly over the
+        # data axis (predict_windows pads the tail with repeated windows)
+        dp = mesh.shape["data"]
+        batch_size = ((batch_size + dp - 1) // dp) * dp
+    predict_fn = make_predict_fn(model, params, mesh=mesh)
     logits = predict_windows(predict_fn, batch, batch_size)
     per_doc = W.aggregate_window_predictions(
         batch["example_id"], batch["labels"], logits, num_examples=len(docs)

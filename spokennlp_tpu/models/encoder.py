@@ -1,9 +1,11 @@
 """Shared transformer encoder trunk (Flax Linen), TPU-first.
 
-One trunk serves the whole encoder zoo of the reference repo — BERT, ELECTRA,
-StructBERT (dense attention), Longformer (sliding-window + global attention),
-and PoNet (pooling mixer) — selected by ``EncoderConfig.attention_type``.
-The reference instead wraps seven separate HF/ModelScope model classes
+One trunk serves most of the reference's encoder zoo — BERT, ELECTRA,
+StructBERT (dense attention) and Longformer (sliding-window + global
+attention) — selected by ``EncoderConfig.attention_type``. PoNet's pooling
+mixer lives in its own module (models/ponet.py); the trunk raises for
+``attention_type="ponet"``. The reference instead wraps seven separate
+HF/ModelScope model classes
 (reference: emnlp2023-topic_segmentation/src/models/*.py:19-120,
 alimeeting4mug/src/models/modeling_ponet.py:34-119).
 

@@ -86,6 +86,35 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+REPLICATED_BATCH_PREFIXES = ("cssl_",)
+"""Batch keys that are NOT batch-leading: the CSSL list-mode index tensors
+are flattened (B*K) / (k, B*K) cross-window gather indices into the whole
+batch's eop features (data/cssl_sampling.py) — they replicate, and XLA
+inserts the all-gather the cross-shard gathers need."""
+
+
 def shard_batch(batch, mesh: Mesh):
+    """Place batch tensors onto the mesh, leading axis over "data".
+
+    The leading axis must divide evenly into the data-axis size — callers pad
+    short batches first (batches_from_docs / predict_windows repeat the last
+    row); raising here beats XLA's opaque uneven-shard error. Keys matching
+    REPLICATED_BATCH_PREFIXES are replicated instead.
+    """
+    dp = mesh.shape[DATA_AXIS]
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    replicated = NamedSharding(mesh, P())
+
+    def place(path, x):
+        key = getattr(path[-1], "key", str(path[-1])) if path else ""
+        if any(str(key).startswith(p) for p in REPLICATED_BATCH_PREFIXES):
+            return jax.device_put(x, replicated)
+        n = np.shape(x)[0]
+        if n % dp != 0:
+            raise ValueError(
+                f"batch axis {n} (key {key!r}) not divisible by data-parallel "
+                f"size {dp}; pad the batch (repeat rows) before sharding"
+            )
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map_with_path(place, batch)

@@ -33,6 +33,8 @@ from spokennlp_tpu.configs import (
 )
 from spokennlp_tpu.data.featurization import batches_from_docs, featurize_paired
 from spokennlp_tpu.eval import seg_metrics
+from spokennlp_tpu.parallel import dist as dist_lib
+from spokennlp_tpu.parallel import mesh as mesh_lib
 from spokennlp_tpu.train import optim
 from spokennlp_tpu.train.train_step import (
     TrainState,
@@ -79,6 +81,7 @@ class TopicSegTrainer:
         params=None,
         metric_for_best: str = "f1",
         log_path: Optional[str] = None,
+        mesh=None,
     ):
         self.model = model
         self.task_cfg = task_cfg
@@ -89,7 +92,14 @@ class TopicSegTrainer:
         self.metric_for_best = metric_for_best
         self.metrics_log = MetricLogger(log_path)
 
-        self.batch_size = train_cfg.per_device_batch_size * jax.local_device_count()
+        # SPMD mesh over all devices: data-parallel batch sharding (the
+        # reference's DDP default, run_finetune.sh:61) with an optional
+        # tensor-parallel axis; params/batches placed via parallel/mesh rules.
+        if mesh is None:
+            mesh = mesh_lib.make_mesh(train_cfg.model_parallel_size)
+        self.mesh = mesh
+        self.dp_size = mesh.shape[mesh_lib.DATA_AXIS]
+        self.batch_size = train_cfg.per_device_batch_size * self.dp_size
         n_windows = len(
             featurize_paired(
                 self.train_docs,
@@ -110,6 +120,7 @@ class TopicSegTrainer:
         self.tx = optim.make_optimizer(train_cfg, max(self.total_steps, 1))
         if params is None:
             params = self._init_params()
+        params = mesh_lib.shard_params(params, self.mesh)
         self.state = create_train_state(params, self.tx)
         self.step_fn = make_topic_seg_train_step(model, task_cfg, self.tx)
         self.rng = jax.random.PRNGKey(train_cfg.seed)
@@ -162,7 +173,7 @@ class TopicSegTrainer:
                 data_rng,
                 drop_last=False,
             ):
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                jb = mesh_lib.shard_batch(batch, self.mesh)
                 self.state, metrics = self.step_fn(self.state, jb, self.rng)
                 step += 1
                 # log/eval cadences count OPTIMIZER steps (the reference's
@@ -219,7 +230,7 @@ class TopicSegTrainer:
         if not windows:
             return {}
         batch = stack_windows(windows)
-        predict_fn = make_predict_fn(self.model, self.state.params)
+        predict_fn = make_predict_fn(self.model, self.state.params, mesh=self.mesh)
         logits = predict_windows(predict_fn, batch, self.batch_size)
         preds, refs = [], []
         for i in range(len(windows)):
@@ -227,12 +238,27 @@ class TopicSegTrainer:
             if live.any():
                 preds.append(np.argmax(logits[i][live], -1).tolist())
                 refs.append(batch["labels"][i][live].tolist())
+        # multi-host: gather every process's windows before scoring (the
+        # reference's accelerator.gather_for_metrics; no-op single-host)
+        preds = dist_lib.allgather_ragged(preds)
+        refs = dist_lib.allgather_ragged(refs)
         prf = seg_metrics.boundary_prf(preds, refs)
+        # Pk/WinDiff alongside F1, as the reference's compute_metrics reports
+        # every eval (seqeval.py:125-237) — best-checkpoint gating can use
+        # metric_for_best="1-pk"/"1-wd" as well as "f1". Label id 0 = B-EOP.
+        wm = seg_metrics.compute_window_metric(
+            [[1 if v == 0 else 0 for v in p] for p in preds],
+            [[1 if v == 0 else 0 for v in r] for r in refs],
+        )
         return {
             "precision": prf["overall_precision"],
             "recall": prf["overall_recall"],
             "f1": prf["overall_f1"],
             "accuracy": prf["overall_accuracy"],
+            "1-pk": wm["1-pk"],
+            "1-wd": wm["1-wd"],
+            "pk": wm["pk"],
+            "wd": wm["wd"],
         }
 
     # ------------------------------------------------------------ checkpoints
