@@ -28,7 +28,12 @@ def main():
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--baseline", type=float, default=5000.0)
-    ap.add_argument("--attention-impl", default="auto", choices=["auto", "einsum", "flash"])
+    ap.add_argument("--attention-impl", default="auto", choices=["auto", "einsum", "flash", "pallas", "fused"])
+    ap.add_argument(
+        "--quantize", default="w8a8", choices=["none", "w8a8"],
+        help="W8A8 Pallas projections (argmax-parity tested vs bf16; "
+        "tests/test_int8_matmul.py)",
+    )
     args = ap.parse_args()
 
     import sys
@@ -52,6 +57,7 @@ def main():
         attention_impl=args.attention_impl,
         # bf16 softmax: 32% faster attention, argmax-stable for inference
         softmax_in_compute_dtype=True,
+        quantize=args.quantize,
     )
     model = TopicSegModel(enc, TopicSegConfig(), dtype=jnp.bfloat16)
 

@@ -43,6 +43,13 @@ class EncoderConfig:
     # (segment-id masking, no materialized score matrix), einsum elsewhere.
     # Note: the flash path does not apply attention-prob dropout.
     attention_impl: str = "auto"  # auto | einsum | flash | pallas
+    # W8A8 quantized projections (inference only): all dense projections
+    # (fused QKV, attention out, MLP) run as int8 x int8 -> int32 Pallas
+    # matmuls with per-token activation / per-channel weight scales and a
+    # fused dequant epilogue (ops/pallas/int8_matmul.py). ~2x MXU rate over
+    # bf16 on v5e; applied only when deterministic=True (rounding has no
+    # gradient). "none" | "w8a8".
+    quantize: str = "none"
     # run the attention softmax in the compute dtype instead of float32.
     # bf16 softmax measured 32% faster attention on v5e (VPU exp is the
     # bottleneck at L=512); argmax-based inference is insensitive to the

@@ -23,6 +23,7 @@ TPU design notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -111,11 +112,16 @@ class FusedQKV(nn.Module):
     DenseGeneral it replaces, but able to emit (B, 3, nh, L, hd) directly for
     the Pallas kernel (XLA folds the transpose into the matmul epilogue;
     measured free on v5e, unlike a separate transpose pass).
+
+    With ``quantize=True`` the projection runs on the W8A8 Pallas path
+    (ops/pallas/int8_matmul.py): the (H, 3*nh*hd) matmul in int8 with a
+    fused dequant epilogue; param tree unchanged.
     """
 
     num_heads: int
     head_dim: int
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, hidden: Array, layout: str = "blsnd") -> Array:
@@ -130,6 +136,19 @@ class FusedQKV(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (3, self.num_heads, self.head_dim)
         )
+        if layout == "raw":  # fused attention block consumes the params directly
+            return kernel, bias
+        if self.quantize and layout == "blsnd":
+            from spokennlp_tpu.ops.pallas.int8_matmul import quant_dense
+
+            B, L, _ = hidden.shape
+            out = quant_dense(
+                hidden.reshape(B * L, H),
+                kernel.reshape(H, 3 * self.num_heads * self.head_dim),
+                bias.reshape(-1),
+                out_dtype=self.dtype,
+            )
+            return out.reshape(B, L, 3, self.num_heads, self.head_dim)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
         if layout == "blsnd":
@@ -150,25 +169,102 @@ class AttnOutProj(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    quantize: bool = False
+    # set when called with layout="raw" (param shapes not derivable from ctx)
+    num_heads: Optional[int] = None
+    head_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, ctx: Array, layout: str = "blnd") -> Array:
-        nh, hd = (ctx.shape[-2], ctx.shape[-1]) if layout == "blnd" else (
-            ctx.shape[1],
-            ctx.shape[-1],
-        )
+        if layout == "raw":
+            nh, hd = self.num_heads, self.head_dim
+        elif layout == "blnd":
+            nh, hd = ctx.shape[-2], ctx.shape[-1]
+        else:
+            nh, hd = ctx.shape[1], ctx.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
             (nh, hd, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if layout == "raw":
+            return kernel, bias
+        if self.quantize and layout == "blnd":
+            from spokennlp_tpu.ops.pallas.int8_matmul import quant_dense
+
+            B, L, _, _ = ctx.shape
+            out = quant_dense(
+                ctx.reshape(B * L, nh * hd),
+                kernel.reshape(nh * hd, self.features),
+                bias,
+                out_dtype=self.dtype,
+            )
+            return out.reshape(B, L, self.features)
         kernel = kernel.astype(self.dtype)
         if layout == "blnd":
             return jnp.einsum("blnd,ndh->blh", ctx, kernel) + bias.astype(self.dtype)
         if layout == "bnld":
             return jnp.einsum("bnld,ndh->blh", ctx, kernel) + bias.astype(self.dtype)
         raise ValueError(layout)
+
+
+class _LNParams(nn.Module):
+    """Param twin of nn.LayerNorm (scale/bias) for fused-kernel epilogues —
+    the arrays are consumed by Pallas kernels instead of an nn call, but the
+    checkpoint tree stays identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Param twin of nn.Dense (kernel/bias) for fused-kernel consumption."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class QuantDense(nn.Module):
+    """nn.Dense twin (identical param tree) on the W8A8 Pallas path.
+
+    ``activation`` runs fused in the kernel epilogue (an unfused GELU between
+    two pallas calls costs an (M, 4H) HBM round-trip, ~1.2 ms/layer)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    activation: str = "none"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from spokennlp_tpu.ops.pallas.int8_matmul import quant_dense
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        lead = x.shape[:-1]
+        out = quant_dense(
+            x.reshape(-1, x.shape[-1]),
+            kernel,
+            bias,
+            out_dtype=self.dtype,
+            activation=self.activation,
+        )
+        return out.reshape(*lead, self.features)
 
 
 class SelfAttention(nn.Module):
@@ -194,18 +290,58 @@ class SelfAttention(nn.Module):
         global_mask: Optional[Array] = None,
         key_padding_bias: Optional[Array] = None,
         raw_attention_mask: Optional[Array] = None,
+        attention_impl: Optional[str] = None,
+        fused_ln: Optional[tuple] = None,
     ):
         cfg = self.config
+        impl = attention_impl or cfg.attention_impl
         B, L, H = hidden.shape
         nh, hd = cfg.num_heads, cfg.head_dim
 
-        qkv_proj = FusedQKV(nh, hd, dtype=self.dtype, name="qkv")
+        # W8A8 only on the inference path: rounding has no gradient
+        quant = cfg.quantize == "w8a8" and deterministic
+        qkv_proj = FusedQKV(nh, hd, dtype=self.dtype, quantize=quant, name="qkv")
         out_layout = "blnd"
         sliding_chunked = (
             cfg.attention_type == "sliding_window" and raw_attention_mask is not None
         )
 
         probs = None
+        if (
+            impl == "fused"
+            and cfg.attention_type == "dense"
+            and flash_segment_ids is not None
+        ):
+            # one-kernel attention block: qkv proj + MHA + out proj fused,
+            # q/k/v never leave VMEM (ops/pallas/attention_block.py)
+            from spokennlp_tpu.ops.pallas.attention_block import (
+                fused_attention_block,
+            )
+
+            qkv_kernel, qkv_bias = qkv_proj(hidden, layout="raw")
+            out_mod = AttnOutProj(
+                H, dtype=self.dtype, num_heads=nh, head_dim=hd, name="out"
+            )
+            out_kernel, out_bias = out_mod(hidden, layout="raw")
+            interpret = jax.default_backend() == "cpu"
+            ln_scale, ln_bias = fused_ln if fused_ln is not None else (None, None)
+            return (
+                fused_attention_block(
+                    hidden,
+                    flash_segment_ids,
+                    qkv_kernel,
+                    qkv_bias,
+                    out_kernel,
+                    out_bias,
+                    sm_scale=1.0 / float(hd) ** 0.5,
+                    interpret=interpret,
+                    quantized=quant,
+                    ln_scale=ln_scale,
+                    ln_bias=ln_bias,
+                    eps=cfg.layer_norm_eps,
+                ),
+                None,
+            )
         if sliding_chunked:
             from spokennlp_tpu.ops.sliding_attention import (
                 chunked_sliding_window_attention,
@@ -225,7 +361,7 @@ class SelfAttention(nn.Module):
                     self.dtype if cfg.softmax_in_compute_dtype else jnp.float32
                 ),
             ).astype(self.dtype)
-        elif cfg.attention_impl == "pallas" and flash_segment_ids is not None:
+        elif impl == "pallas" and flash_segment_ids is not None:
             from spokennlp_tpu.ops.pallas.blhd_attention import snld_self_attention
 
             qkv = qkv_proj(hidden, layout="bsnld")  # (B, 3, nh, L, hd)
@@ -303,7 +439,9 @@ class SelfAttention(nn.Module):
                 is_global = global_mask.astype(bool)[:, :, None, None]
                 ctx = jnp.where(is_global, g_ctx, ctx)
 
-        out = AttnOutProj(H, dtype=self.dtype, name="out")(ctx, layout=out_layout)
+        out = AttnOutProj(H, dtype=self.dtype, quantize=quant, name="out")(
+            ctx, layout=out_layout
+        )
         if output_attentions:
             return out, probs
         return out, None
@@ -327,8 +465,56 @@ class TransformerLayer(nn.Module):
         global_mask: Optional[Array] = None,
         key_padding_bias: Optional[Array] = None,
         raw_attention_mask: Optional[Array] = None,
+        attention_impl: Optional[str] = None,
     ):
         cfg = self.config
+        impl = attention_impl or cfg.attention_impl
+        quant = cfg.quantize == "w8a8" and deterministic
+
+        # Fused half-layer path (TPU inference): the whole layer is TWO
+        # Pallas kernels — h1 = LN(x + attn(x)) in the attention-block kernel
+        # (ops/pallas/attention_block.py) and h2 = LN(h1 + mlp(h1)) in the
+        # MLP-block kernel (ops/pallas/mlp_block.py). The (B, L, 4H)
+        # intermediate and q/k/v never touch HBM; dropout is inactive on
+        # this deterministic path (as in any inference).
+        fused_half = (
+            impl == "fused"
+            and cfg.attention_type == "dense"
+            and flash_segment_ids is not None
+            and not output_attentions
+        )
+        if fused_half:
+            from spokennlp_tpu.ops.pallas.mlp_block import fused_mlp_block
+
+            B, L, H = hidden.shape
+            ln1 = _LNParams(H, name="attention_ln")()
+            h1, _ = SelfAttention(cfg, dtype=self.dtype, name="attention")(
+                hidden,
+                attention_bias,
+                deterministic,
+                False,
+                flash_segment_ids=flash_segment_ids,
+                attention_impl="fused",
+                fused_ln=ln1,
+            )
+            w1, b1 = _DenseParams(H, cfg.intermediate_size, name="mlp_in")()
+            w2, b2 = _DenseParams(cfg.intermediate_size, H, name="mlp_out")()
+            ln2_scale, ln2_bias = _LNParams(H, name="mlp_ln")()
+            out = fused_mlp_block(
+                h1.reshape(B * L, H),
+                w1,
+                b1,
+                w2,
+                b2,
+                ln2_scale,
+                ln2_bias,
+                activation=cfg.hidden_act,
+                eps=cfg.layer_norm_eps,
+                quantized=quant,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return out.reshape(B, L, H), None
+
         attn_out, probs = SelfAttention(cfg, dtype=self.dtype, name="attention")(
             hidden,
             attention_bias,
@@ -339,15 +525,28 @@ class TransformerLayer(nn.Module):
             global_mask=global_mask,
             key_padding_bias=key_padding_bias,
             raw_attention_mask=raw_attention_mask,
+            attention_impl=attention_impl,
         )
         attn_out = nn.Dropout(cfg.hidden_dropout)(attn_out, deterministic=deterministic)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln"
         )(hidden + attn_out)
 
-        mlp = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_in")(hidden)
-        mlp = ACT2FN[cfg.hidden_act](mlp)
-        mlp = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_out")(mlp)
+        if quant:
+            # activation fused into the mlp_in kernel epilogue
+            mlp = QuantDense(
+                cfg.intermediate_size,
+                dtype=self.dtype,
+                activation=cfg.hidden_act,
+                name="mlp_in",
+            )(hidden)
+            mlp = QuantDense(cfg.hidden_size, dtype=self.dtype, name="mlp_out")(mlp)
+        else:
+            mlp = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_in")(
+                hidden
+            )
+            mlp = ACT2FN[cfg.hidden_act](mlp)
+            mlp = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_out")(mlp)
         mlp = nn.Dropout(cfg.hidden_dropout)(mlp, deterministic=deterministic)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="mlp_ln"
@@ -385,23 +584,30 @@ class Encoder(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones((B, L), dtype=jnp.int32)
 
-        # Flash path: padding + window packing expressed as segment ids, no
-        # (L, L) bias ever materialized. Falls back to the einsum+bias path
-        # off-TPU, for attention maps, or for non-dense mixers.
-        # "auto" currently resolves to einsum: the jax flash kernel's BNLH
-        # layout costs 4 transposes per layer which outweigh its win at
-        # BERT-scale (measured 1022 vs 1140 windows/s at L=512, B=128 on
-        # v5e). A BLHD-native Pallas kernel is the planned replacement.
+        # Attention impl resolution. "auto" picks the fused attention-block
+        # megakernel (ops/pallas/attention_block.py) on TPU inference — the
+        # measured ranking at BERT-base/B=128/L=512 on v5e is fused 1943 >
+        # pallas 1291 > einsum 1140 > jax-flash 1041 windows/s. Training
+        # keeps einsum: the kernels skip attention-prob dropout and the
+        # fused block has no custom VJP yet. Off-TPU, einsum.
+        impl = cfg.attention_impl
+        if impl == "auto":
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            impl = (
+                "fused"
+                if on_tpu and deterministic and not output_attentions
+                else "einsum"
+            )
         use_flash = (
             cfg.attention_type == "dense"
             and not output_attentions
-            and cfg.attention_impl == "flash"
+            and impl == "flash"
             and flash_available(L, cfg.head_dim)
         )
         use_pallas = (
             cfg.attention_type == "dense"
             and not output_attentions
-            and cfg.attention_impl == "pallas"
+            and impl in ("pallas", "fused")
         )
 
         bias = None
@@ -464,6 +670,7 @@ class Encoder(nn.Module):
                 ),
                 key_padding_bias=key_padding_bias,
                 raw_attention_mask=attention_mask if sliding_chunked else None,
+                attention_impl=impl,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

@@ -27,8 +27,9 @@ def test_kernel_matches_reference_interpret():
     )
     want = np.asarray(reference_snld_attention(qkv, seg, 0.25))
     valid0 = slice(0, 100)
-    np.testing.assert_allclose(got[0][:, valid0], want[0][:, valid0], atol=1e-5)
-    np.testing.assert_allclose(got[1], want[1], atol=1e-5)
+    # kernel computes exp in bf16 (VPU-lean softmax): ~0.4% relative error
+    np.testing.assert_allclose(got[0][:, valid0], want[0][:, valid0], atol=5e-3)
+    np.testing.assert_allclose(got[1], want[1], atol=5e-3)
 
 
 def test_packing_isolation():
@@ -49,7 +50,7 @@ def test_packing_isolation():
             qkv_w1, jnp.ones((1, 32), jnp.int32), 0.25, heads_per_block=1, interpret=True
         )
     )
-    np.testing.assert_allclose(out_packed[:, :, :32], out_w1, atol=1e-5)
+    np.testing.assert_allclose(out_packed[:, :, :32], out_w1, atol=1e-7)
 
 
 def test_encoder_pallas_impl_matches_einsum():
@@ -78,5 +79,5 @@ def test_encoder_pallas_impl_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(out_p.last_hidden_state)[valid],
         np.asarray(out_e.last_hidden_state)[valid],
-        atol=1e-4,
+        atol=2e-2,  # bf16-exp softmax in the kernel vs f32 in einsum
     )
