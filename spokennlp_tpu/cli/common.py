@@ -36,7 +36,7 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--do_tssp", action="store_true")
     g.add_argument("--tssp_ablation", default="none")
     g.add_argument("--attention_type", default="dense",
-                   choices=["dense", "sliding_window", "ponet"])
+                   choices=["dense", "sliding_window", "bigbird", "ponet"])
     g.add_argument("--attention_window", type=int, default=512)
     # architecture knobs (defaults = BERT-base; used when training from
     # scratch / smoke-testing without a checkpoint)

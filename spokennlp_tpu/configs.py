@@ -63,6 +63,15 @@ class EncoderConfig:
     # chunked when L > 1024.
     sliding_window_impl: str = "auto"  # auto | bias | chunked
     max_global_tokens: int = 16  # static cap for the chunked global path  # one-sided window is attention_window // 2
+    # bigbird block-sparse attention (attention_type="bigbird"; reference
+    # backbone: emnlp2023-topic_segmentation/src/models/bigbird_for_ts.py).
+    # "bias" materializes the (L, L) mask (exact oracle, short L); "block"
+    # is the O(L * K * block) gather path; "auto" picks block when L > 1024.
+    bigbird_block_size: int = 64
+    bigbird_num_global_blocks: int = 2
+    bigbird_num_random_blocks: int = 3
+    bigbird_seed: int = 0
+    bigbird_impl: str = "auto"  # auto | bias | block
     # ponet
     ponet_local_window: int = 3
     # embedding variant: "absolute" learned positions (BERT family)

@@ -342,7 +342,29 @@ class SelfAttention(nn.Module):
                 ),
                 None,
             )
-        if sliding_chunked:
+        if cfg.attention_type == "bigbird" and raw_attention_mask is not None:
+            # block-sparse gather path (ops/bigbird_attention.py); the bias
+            # path is handled by the dense einsum branch below
+            from spokennlp_tpu.ops.bigbird_attention import (
+                bigbird_block_sparse_attention,
+            )
+
+            qkv = qkv_proj(hidden)
+            qq, kk, vv = jnp.moveaxis(qkv, 2, 0)
+            ctx = bigbird_block_sparse_attention(
+                qq,
+                kk,
+                vv,
+                raw_attention_mask,
+                cfg.bigbird_block_size,
+                cfg.bigbird_num_global_blocks,
+                cfg.bigbird_num_random_blocks,
+                cfg.bigbird_seed,
+                softmax_dtype=(
+                    self.dtype if cfg.softmax_in_compute_dtype else jnp.float32
+                ),
+            ).astype(self.dtype)
+        elif sliding_chunked:
             from spokennlp_tpu.ops.sliding_attention import (
                 chunked_sliding_window_attention,
             )
@@ -614,6 +636,7 @@ class Encoder(nn.Module):
         flash_segment_ids = None
         key_padding_bias = None
         sliding_chunked = False
+        bigbird_block = False
         if use_flash or use_pallas:
             if pack_segment_ids is not None:
                 # pad tokens = 0, window i = i+1 (caller contract)
@@ -625,11 +648,33 @@ class Encoder(nn.Module):
             if pack_segment_ids is not None:
                 same = pack_segment_ids[:, :, None] == pack_segment_ids[:, None, :]
                 bias = bias + jnp.where(same, 0.0, NEG_INF)[:, None, :, :]
+        elif cfg.attention_type == "bigbird":
+            from spokennlp_tpu.ops.bigbird_attention import bigbird_attention_bias
+
+            bb_impl = cfg.bigbird_impl
+            if bb_impl == "auto":
+                bb_impl = "block" if L > 1024 else "bias"
+            assert L % cfg.bigbird_block_size == 0, (
+                f"bigbird needs L ({L}) divisible by block_size "
+                f"({cfg.bigbird_block_size})"
+            )
+            if bb_impl == "bias":
+                bias = bigbird_attention_bias(
+                    attention_mask,
+                    cfg.bigbird_block_size,
+                    cfg.bigbird_num_global_blocks,
+                    cfg.bigbird_num_random_blocks,
+                    cfg.bigbird_seed,
+                )
+            else:
+                # block path: bias stays None; SelfAttention dispatches on
+                # raw_attention_mask
+                bigbird_block = True
         elif cfg.attention_type == "sliding_window":
-            impl = cfg.sliding_window_impl
-            if impl == "auto":
-                impl = "chunked" if L > 1024 else "bias"
-            if impl == "chunked" and L % max(cfg.attention_window // 2, 1) == 0:
+            sw_impl = cfg.sliding_window_impl
+            if sw_impl == "auto":
+                sw_impl = "chunked" if L > 1024 else "bias"
+            if sw_impl == "chunked" and L % max(cfg.attention_window // 2, 1) == 0:
                 # banded O(L * window) path; bias stays None and SelfAttention
                 # dispatches on (attention_mask, global_mask) directly
                 sliding_chunked = True
@@ -669,7 +714,9 @@ class Encoder(nn.Module):
                     else None
                 ),
                 key_padding_bias=key_padding_bias,
-                raw_attention_mask=attention_mask if sliding_chunked else None,
+                raw_attention_mask=(
+                    attention_mask if (sliding_chunked or bigbird_block) else None
+                ),
                 attention_impl=impl,
             )
             if output_hidden_states:
