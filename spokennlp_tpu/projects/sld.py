@@ -195,6 +195,173 @@ def build_prompts(batch_input_ids: np.ndarray, cfg: SLDConfig):
     return ids, mask
 
 
+class SLDTrainer:
+    """End-to-end SLD training driver: epoch loop with input time-masking,
+    per-epoch jitted decode -> WER/CER gating, best-checkpoint retention.
+
+    The reference's Accelerate loop (run_clm.py:740-905) with its per-epoch
+    ``model.generate`` eval (:647-739) rebuilt TPU-first: fixed-shape packed
+    batches sharded over the data-parallel mesh axis, one compiled train
+    step, one compiled KV-cache decode program reused across epochs.
+    """
+
+    def __init__(
+        self,
+        model,
+        cfg: SLDConfig,
+        tx,
+        train_examples: Sequence[Dict[str, np.ndarray]],
+        eval_examples: Sequence[Dict[str, np.ndarray]],
+        eval_texts: Sequence[str],
+        detokenize_fn,
+        batch_size: int = 8,
+        num_epochs: int = 3,
+        seed: int = 0,
+        decode_max_len: Optional[int] = None,
+        num_beams: int = 1,
+        checkpoint_dir: Optional[str] = None,
+        mesh=None,
+        metric_for_best: str = "wer",
+        params=None,
+    ):
+        from spokennlp_tpu.parallel import mesh as mesh_lib
+        from spokennlp_tpu.train.train_step import create_train_state
+
+        self.model = model
+        self.cfg = cfg
+        self.tx = tx
+        self.train_examples = list(train_examples)
+        self.eval_examples = list(eval_examples)
+        self.eval_texts = list(eval_texts)
+        self.detokenize_fn = detokenize_fn
+        self.batch_size = batch_size
+        self.num_epochs = num_epochs
+        self.seed = seed
+        self.num_beams = num_beams
+        self.decode_max_len = decode_max_len or cfg.block_size
+        self.checkpoint_dir = checkpoint_dir
+        self.metric_for_best = metric_for_best
+        if mesh is None:
+            # dp must divide the batch: use the largest device count that does
+            n_dev = len(jax.devices())
+            dp = next(d for d in range(min(n_dev, batch_size), 0, -1)
+                      if batch_size % d == 0)
+            mesh = mesh_lib.make_mesh(1, devices=jax.devices()[:dp])
+        self.mesh = mesh
+        self._mesh_lib = mesh_lib
+
+        if params is None:
+            L = self.train_examples[0]["input_ids"].shape[0]
+            params = model.init(
+                jax.random.PRNGKey(seed),
+                jnp.ones((1, L), jnp.int32),
+                attention_mask=jnp.ones((1, L), jnp.int32),
+                deterministic=True,
+            )["params"]
+        params = mesh_lib.shard_params(params, self.mesh)
+        self.state = create_train_state(params, tx)
+        self.step_fn = make_sld_train_step(model, cfg, tx)
+        self.rng = jax.random.PRNGKey(seed)
+
+        # one fixed prompt length for the whole eval set -> one compiled
+        # decode program across epochs
+        self._prompt_ids, self._prompt_mask = build_prompts(
+            np.stack([e["input_ids"] for e in self.eval_examples]), cfg
+        )
+
+    def _batches(self, rng: np.random.Generator):
+        order = rng.permutation(len(self.train_examples))
+        bs = self.batch_size
+        for s in range(0, len(order), bs):
+            take = order[s : s + bs].tolist()
+            while len(take) < bs:  # pad tail by repetition (static shapes)
+                take.append(take[len(take) - len(order[s : s + bs])])
+            chunk = [self.train_examples[i] for i in take]
+            yield {
+                k: np.stack([c[k] for c in chunk])
+                for k in ("input_ids", "attention_mask", "labels")
+            }
+
+    def decode_eval(self) -> Dict[str, float]:
+        """Jitted KV-cache decode over the eval prompts -> WER/CER
+        (reference: per-epoch generate + jiwer metrics, run_clm.py:647-739)."""
+        from spokennlp_tpu.eval.asr_metrics import cer as cer_fn
+        from spokennlp_tpu.eval.asr_metrics import wer as wer_fn
+        from spokennlp_tpu.models.generation import beam_generate, greedy_generate
+
+        n = self._prompt_ids.shape[0]
+        bs = self.batch_size
+        hyps: List[str] = []
+        for s in range(0, n, bs):
+            ids = self._prompt_ids[s : s + bs]
+            mask = self._prompt_mask[s : s + bs]
+            pad = bs - ids.shape[0]
+            if pad:
+                ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
+            if self.num_beams > 1:
+                gen = beam_generate(
+                    self.model, self.state.params, jnp.asarray(ids),
+                    jnp.asarray(mask), max_len=self.decode_max_len,
+                    eos_id=self.cfg.text_end_id, num_beams=self.num_beams,
+                )
+            else:
+                gen = greedy_generate(
+                    self.model, self.state.params, jnp.asarray(ids),
+                    jnp.asarray(mask), max_len=self.decode_max_len,
+                    eos_id=self.cfg.text_end_id,
+                )
+            token_rows = extract_text_tokens(np.asarray(gen), self.cfg)
+            hyps.extend(self.detokenize_fn(r) for r in token_rows)
+        hyps = hyps[:n]
+        return {
+            "wer": wer_fn(hyps, self.eval_texts),
+            "cer": cer_fn(hyps, self.eval_texts),
+        }
+
+    def _save(self, epoch: int, metrics: Dict[str, float]):
+        if not self.checkpoint_dir:
+            return
+        import orbax.checkpoint as ocp
+
+        if not hasattr(self, "_ckpt_mgr"):
+            import os
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(self.checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=2,
+                    best_fn=lambda m: -m.get(self.metric_for_best, float("inf")),
+                    best_mode="max",  # lower WER = better
+                ),
+            )
+        self._ckpt_mgr.save(
+            epoch,
+            args=ocp.args.StandardSave({"params": self.state.params}),
+            metrics={k: float(v) for k, v in metrics.items()},
+        )
+        self._ckpt_mgr.wait_until_finished()
+
+    def train(self) -> Dict:
+        data_rng = np.random.default_rng(self.seed)
+        history = []
+        for epoch in range(1, self.num_epochs + 1):
+            losses = []
+            for batch in self._batches(data_rng):
+                jb = self._mesh_lib.shard_batch(batch, self.mesh)
+                self.state, metrics = self.step_fn(self.state, jb, self.rng)
+                losses.append(float(metrics["loss"]))
+            eval_metrics = self.decode_eval()
+            row = {
+                "epoch": epoch,
+                "train_loss": float(np.mean(losses)),
+                **eval_metrics,
+            }
+            history.append(row)
+            self._save(epoch, eval_metrics)
+        return {"history": history, "final": history[-1]}
+
+
 def extract_text_tokens(generated: np.ndarray, cfg: SLDConfig) -> List[List[int]]:
     """Tokens between speech_end and text_end (reference :683-691)."""
     out = []

@@ -91,6 +91,26 @@ def apply_kmeans(km, features: np.ndarray) -> np.ndarray:
     return np.argmin(d, axis=-1)
 
 
+def speed_perturb(waveform: np.ndarray, factor: float) -> np.ndarray:
+    """Speed perturbation by resampling (reference: sld/run.sh:106-118 dumps
+    features at speeds 0.9/1.0/1.1 via torchaudio Resample).
+
+    factor > 1 speeds up (shorter output), < 1 slows down. Band-limited
+    linear interpolation over the time axis — adequate for the k-means
+    feature path, no torch dependency.
+    """
+    if factor == 1.0:
+        return np.asarray(waveform)
+    w = np.asarray(waveform, np.float32)
+    n = w.shape[-1]
+    m = max(int(round(n / factor)), 1)
+    src = np.linspace(0.0, n - 1, m)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (src - lo).astype(np.float32)
+    return w[..., lo] * (1.0 - frac) + w[..., hi] * frac
+
+
 def dedupe_runs(tokens: Sequence[int]) -> List[int]:
     """Collapse consecutive repeats (speech-token convention)."""
     out: List[int] = []
