@@ -177,6 +177,35 @@ def load_jsonl_examples(path: str) -> List[Dict]:
     return out
 
 
+def load_video_jsonl_examples(path: str) -> List[Dict]:
+    """avlecture / clvts video-topic-seg jsonl (reference builders:
+    mmvts/src/datasets/avlecture/avlecture.py:26-82, clvts/clvts.py):
+    rows {"example_id": "...", "text": [clip transcripts], "labels": [...]}
+    where raw label 1 = end clip of topic -> B-EOP(0); avlecture example ids
+    carry the lecture name after '@@'."""
+    out = []
+    with open(path) as f:
+        for example_id, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            ex = json.loads(line)
+            raw_id = str(ex.get("example_id", example_id))
+            lecture = raw_id.split("@@")[1] if "@@" in raw_id else raw_id
+            labels = [
+                _RAW_TO_ID[v] if v in _RAW_TO_ID else IGNORE for v in ex["labels"]
+            ]
+            out.append(
+                {
+                    "example_id": example_id,
+                    "lecture": lecture,
+                    "sentences": ex["text"],
+                    "labels": labels,
+                }
+            )
+    return out
+
+
 def tokenize_examples(
     examples: Sequence[Dict], tokenize_fn: Callable[[str], List[int]]
 ) -> List[Dict]:
@@ -209,13 +238,26 @@ DATASET_SPLITS = {
     "wiki727k": ("train.jsonl", "dev.jsonl", "test.jsonl"),
     "wiki50": (None, None, "test.jsonl"),
     "wiki_elements": (None, None, "test.jsonl"),
+    # MMVTS video corpora (clip transcripts; features cached separately)
+    "avlecture": ("train.jsonl", "dev.jsonl", "test.jsonl"),
+    "clvts": ("train.jsonl", "dev.jsonl", "test.jsonl"),
+}
+
+_SPLIT_LOADERS = {
+    "avlecture": "video",
+    "clvts": "video",
 }
 
 
 def load_dataset_splits(name: str, data_dir: str) -> Dict[str, List[Dict]]:
     train_f, dev_f, test_f = DATASET_SPLITS[name]
+    loader = (
+        load_video_jsonl_examples
+        if _SPLIT_LOADERS.get(name) == "video"
+        else load_jsonl_examples
+    )
     splits = {}
     for split, fname in (("train", train_f), ("validation", dev_f), ("test", test_f)):
         if fname and os.path.exists(os.path.join(data_dir, fname)):
-            splits[split] = load_jsonl_examples(os.path.join(data_dir, fname))
+            splits[split] = loader(os.path.join(data_dir, fname))
     return splits

@@ -37,6 +37,8 @@ class MultimodalConfig:
     vis_hidden_size: int = 768  # vis2d (+ vis3d + ocr) concat width
     audio_hidden_size: int = 768
     projector_type: str = "linear"  # linear | transformer
+    proj_num_layers: int = 1  # transformer projector depth
+    proj_skip: bool = False  # residual around the projector encoder
     cross_encoder_type: str = "ma"  # ma | ca | ma_moe | ca_moe | none
     num_cross_encoder_layers: int = 2
     num_cross_encoder_heads: int = 8
@@ -91,6 +93,36 @@ class LinearProjector(nn.Module):
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj")(x)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln")(x)
         return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+
+
+class TransformerProjector(nn.Module):
+    """Per-modality projection through a small transformer encoder
+    (reference: mmvts/src/models/projector/transformer_projector.py:8-62 —
+    Linear+LN+Dropout into width, then nn.TransformerEncoder layers with an
+    optional residual skip). One instance per modality, like the reference's
+    unshared default."""
+
+    cfg: MultimodalConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: Array, clip_mask: Array, deterministic: bool = True
+    ) -> Array:
+        c = self.cfg
+        x = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj")(x)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln")(x)
+        x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+        residual = x
+        for i in range(c.proj_num_layers):
+            x = DenseSelfAttentionLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+                x, clip_mask, deterministic
+            )
+        if c.proj_skip:
+            x = nn.LayerNorm(
+                epsilon=c.layer_norm_eps, dtype=self.dtype, name="skip_ln"
+            )(x + residual)
+        return x
 
 
 class DenseSelfAttentionLayer(nn.Module):
@@ -356,9 +388,14 @@ class MultiModalForTS(nn.Module):
         raw = {"text": text_feats, "vis": vis_feats, "audio": audio_feats}
         for m in c.modalities:
             assert raw[m] is not None, f"modality {m} required by fuse_type {c.fuse_type}"
-            feats[m] = LinearProjector(c, dtype=self.dtype, name=f"{m}_projector")(
-                raw[m], deterministic
-            )
+            if c.projector_type == "transformer":
+                feats[m] = TransformerProjector(
+                    c, dtype=self.dtype, name=f"{m}_projector"
+                )(raw[m], clip_mask, deterministic)
+            else:
+                feats[m] = LinearProjector(c, dtype=self.dtype, name=f"{m}_projector")(
+                    raw[m], deterministic
+                )
         projected = dict(feats)
 
         moe_loss = None

@@ -99,6 +99,142 @@ def topic_cl_matrix_loss(
     return jnp.where(flat_valid, losses, 0.0).sum() / n
 
 
+def build_topic_cl_list_indices(
+    clip_labels: "np.ndarray",
+    clip_mask: "np.ndarray",
+    pos_k: int,
+    neg_k: int,
+    choice: str = "random",
+    rng=None,
+):
+    """Host-side anchor/pos/neg sampling for LIST-mode topic CL (reference:
+    contrastive_learning_layer.py list_type_loss + select_pos/neg_features,
+    :165-295). The reference samples with python `random` inside forward;
+    here sampling happens in the data pipeline (like data/cssl_sampling.py)
+    and the device loss is a fixed-shape gather.
+
+    Semantics preserved: each sample's last valid clip closes its topic;
+    anchors = every clip of every topic with >1 clip; positives from the
+    anchor's topic ("random" or distance-ordered "near"), negatives from
+    other topics ("random", or the following/preceding topics for "near"),
+    both padded by repetition. If the whole batch has <2 topics no anchor is
+    valid (the reference returns 0 loss).
+
+    Returns dict of numpy arrays, flat indices into the (B*K) clip grid:
+      anchor_valid (B*K,), pos (pos_k, B*K), neg (neg_k, B*K).
+    """
+    import numpy as np
+
+    B, K = clip_labels.shape
+    M = B * K
+    anchor_valid = np.zeros(M, np.int32)
+    pos = np.zeros((pos_k, M), np.int32)
+    neg = np.zeros((neg_k, M), np.int32)
+    rng = rng or np.random.default_rng(0)
+
+    # flatten valid clips in order; force each sample's last valid clip = EOT
+    flat_pos: list = []  # valid-seq index -> flat (B*K) index
+    labels_seq: list = []
+    for b in range(B):
+        ks = [k for k in range(K) if clip_mask[b, k]]
+        for j, k in enumerate(ks):
+            flat_pos.append(b * K + k)
+            lab = LABEL_EOT if j == len(ks) - 1 else int(clip_labels[b, k])
+            labels_seq.append(lab)
+    if not labels_seq:
+        return {"anchor_valid": anchor_valid, "pos": pos, "neg": neg}
+
+    # locate topics over the valid sequence: [start, end) spans
+    topics = []
+    start = 0
+    for i, l in enumerate(labels_seq):
+        if l == LABEL_EOT:
+            topics.append((start, i + 1))
+            start = i + 1
+    if len(topics) < 2:
+        return {"anchor_valid": anchor_valid, "pos": pos, "neg": neg}
+
+    def pad_pick(cands, n):
+        cands = list(cands)
+        while len(cands) < n:
+            cands.append(cands[int(rng.integers(0, len(cands)))])
+        if choice == "random":
+            sel = rng.permutation(len(cands))[:n]
+            return [cands[i] for i in sel]
+        return cands[:n]
+
+    for t_idx, (s, e) in enumerate(topics):
+        if e - s < 2:
+            continue  # single-clip topic: no positives, not an anchor
+        for a in range(s, e):
+            fa = flat_pos[a]
+            anchor_valid[fa] = 1
+            if choice == "near":
+                left = list(range(a - 1, s - 1, -1))
+                right = list(range(a + 1, e))
+                merged = []
+                for x, y in zip(left, right):
+                    merged += [x, y]
+                merged += right[len(left):] if len(left) < len(right) else left[len(right):]
+                pos_c = merged
+            else:
+                pos_c = list(range(s, a)) + list(range(a + 1, e))
+            for i, idx in enumerate(pad_pick(pos_c, pos_k)):
+                pos[i, fa] = flat_pos[idx]
+            if choice == "near":
+                if t_idx < len(topics) - 1:
+                    neg_c = list(range(topics[t_idx + 1][0], topics[-1][1]))
+                else:
+                    neg_c = list(range(topics[t_idx - 1][1] - 1, -1, -1))
+            else:
+                neg_c = [
+                    i
+                    for o, (os_, oe) in enumerate(topics)
+                    if o != t_idx
+                    for i in range(os_, oe)
+                ]
+            for i, idx in enumerate(pad_pick(neg_c, neg_k)):
+                neg[i, fa] = flat_pos[idx]
+    return {"anchor_valid": anchor_valid, "pos": pos, "neg": neg}
+
+
+def topic_cl_list_loss(
+    fused: Array,
+    indices: Dict[str, Array],
+    temp: float = 0.1,
+    fct: str = "simcse",
+) -> Array:
+    """Device side of list-mode topic CL (anchor_cl_loss, :127-163):
+    per anchor, 'simcse' = -log(sum exp(pos/T) / (sum exp(pos/T + neg/T)));
+    'ce' = BCE-with-logits on raw cosine sims (1 = positive). Mean over
+    valid anchors; 0 when none."""
+    B, K, H = fused.shape
+    f = fused.reshape(B * K, H).astype(jnp.float32)
+    fn = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + EPS)
+    valid = indices["anchor_valid"].astype(bool)  # (M,)
+
+    def sims(idx):  # (n, M) -> (n, M) cosine per anchor
+        g = fn[idx]  # (n, M, H)
+        return jnp.sum(fn[None, :, :] * g, axis=-1)
+
+    pos_sim = sims(indices["pos"])  # (pos_k, M)
+    neg_sim = sims(indices["neg"])  # (neg_k, M)
+    if fct == "simcse":
+        pos_e = jnp.exp(pos_sim / temp).sum(axis=0)
+        neg_e = jnp.exp(neg_sim / temp).sum(axis=0)
+        losses = -jnp.log(pos_e / (pos_e + neg_e) + EPS)
+    elif fct == "ce":
+        def bce(sim, label):
+            return jnp.log1p(jnp.exp(-sim)) + (1 - label) * sim
+        losses = (
+            bce(pos_sim, 1.0).sum(axis=0) + bce(neg_sim, 0.0).sum(axis=0)
+        ) / (pos_sim.shape[0] + neg_sim.shape[0])
+    else:
+        raise ValueError(fct)
+    n = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, losses, 0.0).sum() / n
+
+
 def mmvts_total_loss(
     cfg,
     outputs: Dict[str, Array],
@@ -114,6 +250,9 @@ def mmvts_total_loss(
     cl_temp: float = 0.1,
     do_topic_mm_cl: bool = False,
     topic_mm_cl_lw: float = 1.0,
+    topic_cl_type: str = "matrix",
+    topic_cl_fct: str = "simcse",
+    topic_cl_indices: Optional[Dict[str, Array]] = None,
 ):
     """Assemble the composite loss (loss_layer.py:68-118). ``align_pairs``
     maps pair names ("av", "at", "tv") to weights."""
@@ -142,9 +281,18 @@ def mmvts_total_loss(
         total = total + m_loss
 
     if do_topic_mm_cl:
-        t_loss = topic_mm_cl_lw * topic_cl_matrix_loss(
-            outputs["fused"], clip_labels, clip_mask, cl_temp
-        )
+        if topic_cl_type == "list":
+            assert topic_cl_indices is not None, (
+                "list-mode topic CL needs host-sampled indices "
+                "(build_topic_cl_list_indices in the data pipeline)"
+            )
+            t_loss = topic_mm_cl_lw * topic_cl_list_loss(
+                outputs["fused"], topic_cl_indices, cl_temp, topic_cl_fct
+            )
+        else:
+            t_loss = topic_mm_cl_lw * topic_cl_matrix_loss(
+                outputs["fused"], clip_labels, clip_mask, cl_temp
+            )
         aux["topic_mm_cl_loss"] = t_loss
         total = total + t_loss
 

@@ -86,7 +86,7 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-REPLICATED_BATCH_PREFIXES = ("cssl_",)
+REPLICATED_BATCH_PREFIXES = ("cssl_", "topic_cl_")
 """Batch keys that are NOT batch-leading: the CSSL list-mode index tensors
 are flattened (B*K) / (k, B*K) cross-window gather indices into the whole
 batch's eop features (data/cssl_sampling.py) — they replicate, and XLA

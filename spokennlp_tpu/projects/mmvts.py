@@ -150,8 +150,17 @@ def make_mmvts_train_step(model: MMVTSModel, tx, loss_kwargs: Dict):
             deterministic=False,
             rngs={"dropout": rng},
         )
+        kwargs = dict(loss_kwargs)
+        if "topic_cl_anchor_valid" in batch:
+            # host-sampled list-mode topic-CL gather indices (mmvts_losses.
+            # build_topic_cl_list_indices, run in the data pipeline)
+            kwargs["topic_cl_indices"] = {
+                "anchor_valid": batch["topic_cl_anchor_valid"],
+                "pos": batch["topic_cl_pos"],
+                "neg": batch["topic_cl_neg"],
+            }
         return mmvts_losses.mmvts_total_loss(
-            model.mm_cfg, out, batch["clip_labels"], batch["clip_mask"], **loss_kwargs
+            model.mm_cfg, out, batch["clip_labels"], batch["clip_mask"], **kwargs
         )
 
     def step(state, batch, rng):

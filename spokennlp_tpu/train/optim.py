@@ -84,3 +84,45 @@ def _decay_mask(params):
     import jax
 
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def make_module_lr_optimizer(
+    base_lr: float,
+    module_lrs: dict,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Per-module learning-rate groups via optax.multi_transform.
+
+    The reference builds torch param groups with a different LR for the
+    cross-encoder (mmvts/src/main_multimodal.py:695-705:
+    Adam([{base_params, lr}, {cross_encoder.parameters(), cross_encoder_lr}])).
+    ``module_lrs`` maps a path substring (e.g. "cross_encoder") to its LR;
+    params whose flattened path contains the substring join that group, the
+    rest use ``base_lr``.
+    """
+    import jax
+
+    names = sorted(module_lrs)
+
+    def label_fn(params):
+        def label(path, _):
+            joined = "/".join(getattr(k, "key", str(k)) for k in path)
+            for n in names:
+                if n in joined:
+                    return n
+            return "__base__"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    def adam(lr):
+        if weight_decay:
+            return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+        return optax.adam(lr, b1=b1, b2=b2, eps=eps)
+
+    transforms = {"__base__": adam(base_lr)}
+    for n in names:
+        transforms[n] = adam(module_lrs[n])
+    return optax.multi_transform(transforms, label_fn)
