@@ -218,7 +218,7 @@ class TopicSegTrainer:
 
     def evaluate(self, docs: Optional[Sequence[Dict]] = None) -> Dict:
         """Window-level eval (the reference's compute_metrics, :1018-1074)."""
-        from spokennlp_tpu.eval.inference import make_predict_fn, predict_windows
+        from spokennlp_tpu.eval.inference import predict_windows_scanned
         from spokennlp_tpu.data.windowing import stack_windows, window_document
 
         docs = docs if docs is not None else self.eval_docs
@@ -230,8 +230,9 @@ class TopicSegTrainer:
         if not windows:
             return {}
         batch = stack_windows(windows)
-        predict_fn = make_predict_fn(self.model, self.state.params, mesh=self.mesh)
-        logits = predict_windows(predict_fn, batch, self.batch_size)
+        logits = predict_windows_scanned(
+            self.model, self.state.params, batch, self.batch_size, mesh=self.mesh
+        )
         preds, refs = [], []
         for i in range(len(windows)):
             live = batch["labels"][i] != -100
