@@ -87,6 +87,10 @@ def add_training_args(p: argparse.ArgumentParser):
     # torch.distributed.launch DDP); optional tensor-parallel axis + explicit
     # multi-host bootstrap
     g.add_argument("--model_parallel_size", type=int, default=1)
+    g.add_argument("--preprocessing_num_workers", type=int, default=1)
+    g.add_argument("--report_to", default=None, choices=[None, "tensorboard"],
+                   help="tensorboard writes event files under "
+                   "<output_dir>/tensorboard")
     g.add_argument("--jax_distributed", action="store_true",
                    help="call jax.distributed.initialize (multi-host; "
                    "coordinator from JAX_COORDINATOR_ADDRESS et al.)")
@@ -182,6 +186,12 @@ def build_configs(args, special):
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
         save_total_limit=args.save_total_limit,
         model_parallel_size=getattr(args, "model_parallel_size", 1),
+        preprocessing_num_workers=getattr(args, "preprocessing_num_workers", 1),
+        tensorboard_dir=(
+            os.path.join(args.output_dir, "tensorboard")
+            if getattr(args, "report_to", None) == "tensorboard"
+            else None
+        ),
     )
     return enc, task, wcfg, tcfg
 

@@ -150,6 +150,12 @@ class TrainConfig:
     eval_cnt: int = 5  # number of evals over training (reference eval_steps calc)
     checkpoint_dir: Optional[str] = None
     save_total_limit: int = 2
+    # host featurization fan-out (the reference's datasets.map num_proc,
+    # ts_sentence_seq_labeling.py:945-954)
+    preprocessing_num_workers: int = 1
+    # TensorBoard event dir (the reference's report_to tensorboard); None =
+    # JSONL/stdout only
+    tensorboard_dir: "Optional[str]" = None
     # SPMD mesh: data-parallel over all local devices by default (the
     # reference's torch.distributed.launch DDP, run_finetune.sh:61); set
     # model_parallel_size > 1 for a second tensor-parallel axis.

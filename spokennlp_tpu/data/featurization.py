@@ -19,29 +19,58 @@ from spokennlp_tpu.data import windowing as W
 from spokennlp_tpu.data.cssl_sampling import build_cssl_list_indices
 
 
+def _window_pair_one(args) -> List[Tuple[W.Window, W.Window]]:
+    """Per-document windowing+pairing (module-level so worker processes can
+    pickle it)."""
+    eid, doc, da_doc, cfg, mspw = args
+    anchor_windows = W.window_document(
+        doc["sent_token_ids"],
+        doc["labels"],
+        cfg,
+        example_id=eid,
+        max_sentences_per_window=mspw,
+    )
+    if not anchor_windows:
+        return []
+    da_windows = aug.pair_windows(anchor_windows, da_doc, cfg, eid)
+    return list(zip(anchor_windows, da_windows))
+
+
 def featurize_paired(
     docs: Sequence[Dict],
     cfg: WindowingConfig,
     rng: np.random.Generator,
     tssp_ablation: str = "none",
     max_sentences_per_window: Optional[int] = None,
+    num_proc: int = 1,
 ) -> List[Tuple[W.Window, W.Window]]:
-    """Window every document and pair each anchor window with its DA window."""
+    """Window every document and pair each anchor window with its DA window.
+
+    ``num_proc`` > 1 fans the per-document windowing out over worker
+    processes (the reference preprocesses with datasets.map(num_proc=...),
+    ts_sentence_seq_labeling.py:945-954). Augmentation stays in-process:
+    cross-document topic replacement needs the whole corpus and is cheap
+    (index shuffling); the window loop is the hot host path.
+    """
     da_docs = aug.augment_documents(docs, rng, tssp_ablation)
-    pairs: List[Tuple[W.Window, W.Window]] = []
-    for eid, (doc, da_doc) in enumerate(zip(docs, da_docs)):
-        anchor_windows = W.window_document(
-            doc["sent_token_ids"],
-            doc["labels"],
-            cfg,
-            example_id=eid,
-            max_sentences_per_window=max_sentences_per_window,
-        )
-        if not anchor_windows:
-            continue
-        da_windows = aug.pair_windows(anchor_windows, da_doc, cfg, eid)
-        pairs.extend(zip(anchor_windows, da_windows))
-    return pairs
+    jobs = [
+        (eid, doc, da_doc, cfg, max_sentences_per_window)
+        for eid, (doc, da_doc) in enumerate(zip(docs, da_docs))
+    ]
+    if num_proc > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(
+            max_workers=num_proc, mp_context=mp.get_context("fork")
+        ) as ex:
+            chunks = list(
+                ex.map(_window_pair_one, jobs,
+                       chunksize=max(1, len(jobs) // (4 * num_proc)))
+            )
+    else:
+        chunks = [_window_pair_one(j) for j in jobs]
+    return [pair for chunk in chunks for pair in chunk]
 
 
 def collate_paired(
@@ -101,6 +130,7 @@ def batches_from_docs(
     shuffle: bool = True,
     drop_last: bool = True,
     max_sentences_per_window: Optional[int] = None,
+    num_proc: int = 1,
 ):
     """Generator of training batches (one epoch). DA is re-sampled each call,
     like the reference's per-fingerprint datasets.map cache being rebuilt per
@@ -111,6 +141,7 @@ def batches_from_docs(
         rng,
         task_cfg.tssp_ablation,
         max_sentences_per_window=max_sentences_per_window,
+        num_proc=num_proc,
     )
     order = np.arange(len(pairs))
     if shuffle:

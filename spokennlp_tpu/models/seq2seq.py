@@ -193,3 +193,79 @@ def greedy_decode(
         if bool(jnp.all(finished)):
             break
     return dec
+
+
+def beam_decode(
+    model: Seq2SeqModel,
+    params,
+    input_ids: Array,
+    attention_mask: Array,
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+    max_len: Optional[int] = None,
+):
+    """Beam-search title decode (the reference decodes PALM 2.0 with beams;
+    alimeeting4mug/src/topic_title_generation/palm_subtitle_generation.py).
+
+    Titles are short, so like greedy_decode the decoder re-runs over the
+    growing prefix (no KV cache); beams ride the batch axis (B*K). Each
+    beam's length freezes at EOS so the length penalty ranks hypotheses
+    that finished at different steps. num_beams=1 reproduces greedy_decode.
+    """
+    c = model.cfg
+    max_len = max_len or c.max_target_length
+    B = input_ids.shape[0]
+    K = num_beams
+    NEG = -1e9
+
+    enc_ids = jnp.repeat(input_ids, K, axis=0)  # (B*K, S)
+    enc_mask = jnp.repeat(attention_mask, K, axis=0)
+
+    @jax.jit
+    def step(dec_ids, dec_mask):
+        out = model.apply(
+            {"params": params},
+            enc_ids,
+            enc_mask,
+            dec_ids,
+            decoder_attention_mask=dec_mask,
+            deterministic=True,
+        )
+        return out["logits"]
+
+    dec = jnp.full((B, K, max_len), c.pad_token_id, jnp.int32).at[:, :, 0].set(
+        c.bos_token_id
+    )
+    dec_mask = jnp.zeros((B, K, max_len), jnp.int32).at[:, :, 0].set(1)
+    scores = jnp.where(jnp.arange(K) == 0, 0.0, NEG)[None, :].repeat(B, 0)
+    finished = jnp.zeros((B, K), bool)
+    lengths = jnp.ones((B, K), jnp.float32)
+
+    for t in range(1, max_len):
+        logits = step(dec.reshape(B * K, max_len), dec_mask.reshape(B * K, max_len))
+        logp = jax.nn.log_softmax(
+            logits[:, t - 1, :].astype(jnp.float32), -1
+        ).reshape(B, K, -1)
+        V = logp.shape[-1]
+        # finished beams extend only with pad at zero cost
+        pad_only = jnp.full((V,), NEG).at[c.pad_token_id].set(0.0)
+        logp = jnp.where(finished[..., None], pad_only[None, None, :], logp)
+        cand = (scores[..., None] + logp).reshape(B, K * V)
+        scores, idx = jax.lax.top_k(cand, K)
+        beam_idx, tok = idx // V, idx % V
+        take = lambda x: jnp.take_along_axis(
+            x, beam_idx.reshape(B, K, *([1] * (x.ndim - 2))), axis=1
+        )
+        dec, dec_mask = take(dec), take(dec_mask)
+        finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+        lengths = jnp.take_along_axis(lengths, beam_idx, axis=1)
+        dec = dec.at[:, :, t].set(jnp.where(finished, c.pad_token_id, tok))
+        dec_mask = dec_mask.at[:, :, t].set((~finished).astype(jnp.int32))
+        lengths = lengths + (~finished).astype(jnp.float32)
+        finished = finished | (tok == c.eos_token_id)
+        if bool(jnp.all(finished)):
+            break
+
+    norm = jnp.power(jnp.maximum(lengths, 1.0), length_penalty)
+    best = jnp.argmax(scores / norm, axis=1)
+    return jnp.take_along_axis(dec, best[:, None, None], axis=1)[:, 0, :]

@@ -228,3 +228,167 @@ def _embed_corpus(embed_fn, tokenize_fn, sentences, batch_size) -> np.ndarray:
         emb = embed_fn(jnp.asarray(ids), jnp.asarray(mask))
         outs.append(np.asarray(emb[:real], dtype=np.float32))
     return np.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# per-model (layer, head) recipes + SentEval-style transfer harness
+# ---------------------------------------------------------------------------
+
+# the reference's run-script table of which attention diagonal to pool with
+# (reference: ditto/run_eval_ditto.sh:17-37)
+DITTO_RECIPES: Dict[str, Tuple[int, int]] = {
+    "bert-base-uncased": (0, 9),
+    "roberta-base": (0, 4),
+    "electra-base-discriminator": (0, 10),
+    "sbert": (2, 6),
+    "sentence-bert": (2, 6),
+}
+
+
+def recipe_for(model_name: str) -> Tuple[int, int]:
+    """(layer, head) for a model name, by substring match; default (0, 9)."""
+    low = model_name.lower()
+    for key, lh in DITTO_RECIPES.items():
+        if key in low:
+            return lh
+    return (0, 9)
+
+
+def evaluate_transfer_classification(
+    embed_fn,
+    tokenize_fn,
+    tasks: Dict[str, Dict[str, Tuple[Sequence[str], Sequence[int]]]],
+    batch_size: int = 32,
+    kfold: int = 5,
+    c_grid: Sequence[float] = (2.0**-2, 2.0**-1, 1.0, 2.0, 4.0, 8.0),
+    seed: int = 1111,
+) -> Dict[str, Dict[str, float]]:
+    """Logistic-regression probing over frozen embeddings.
+
+    The SentEval transfer protocol (reference: ditto/SentEval/senteval/
+    tools/classifier.py + tools/validation.py): fit sklearn
+    LogisticRegression with an L2 grid; tasks with a train/test split pick C
+    on an inner split of train, single-set tasks ("all") run k-fold CV.
+    Returns {task: {"acc": %, "best_c": C}}.
+    """
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.model_selection import StratifiedKFold, train_test_split
+
+    results = {}
+    for name, data in tasks.items():
+        if "train" in data:
+            Xtr = _embed_corpus(embed_fn, tokenize_fn, data["train"][0], batch_size)
+            ytr = np.asarray(data["train"][1])
+            Xte = _embed_corpus(embed_fn, tokenize_fn, data["test"][0], batch_size)
+            yte = np.asarray(data["test"][1])
+            Xin, Xval, yin, yval = train_test_split(
+                Xtr, ytr, test_size=0.2, random_state=seed, stratify=ytr
+            )
+            best_c, best_acc = c_grid[0], -1.0
+            for C in c_grid:
+                clf = LogisticRegression(C=C, max_iter=2000, random_state=seed)
+                clf.fit(Xin, yin)
+                acc = clf.score(Xval, yval)
+                if acc > best_acc:
+                    best_acc, best_c = acc, C
+            clf = LogisticRegression(C=best_c, max_iter=2000, random_state=seed)
+            clf.fit(Xtr, ytr)
+            results[name] = {"acc": 100.0 * clf.score(Xte, yte), "best_c": best_c}
+        else:
+            sents, labels = data["all"]
+            X = _embed_corpus(embed_fn, tokenize_fn, sents, batch_size)
+            y = np.asarray(labels)
+            skf = StratifiedKFold(n_splits=kfold, shuffle=True, random_state=seed)
+            best_c, best_acc = c_grid[0], -1.0
+            for C in c_grid:
+                accs = []
+                for tr, te in skf.split(X, y):
+                    clf = LogisticRegression(C=C, max_iter=2000, random_state=seed)
+                    clf.fit(X[tr], y[tr])
+                    accs.append(clf.score(X[te], y[te]))
+                acc = float(np.mean(accs))
+                if acc > best_acc:
+                    best_acc, best_c = acc, C
+            results[name] = {"acc": 100.0 * best_acc, "best_c": best_c}
+    return results
+
+
+def _score_distribution(scores: np.ndarray, n_classes: int = 5) -> np.ndarray:
+    """Tai et al. (2015) encoding: score s in [1, n] -> probability mass on
+    floor(s)/ceil(s) (the SentEval relatedness target)."""
+    y = np.zeros((len(scores), n_classes), np.float32)
+    for i, s in enumerate(np.clip(scores, 1.0, float(n_classes))):
+        lo = int(np.floor(s))
+        if lo == s:
+            y[i, lo - 1] = 1.0
+        else:
+            y[i, lo - 1] = lo + 1 - s
+            y[i, lo] = s - lo
+    return y
+
+
+def evaluate_similarity_regression(
+    embed_fn,
+    tokenize_fn,
+    data: Dict[str, Tuple[Sequence[str], Sequence[str], Sequence[float]]],
+    batch_size: int = 32,
+    n_classes: int = 5,
+    epochs: int = 300,
+    lr: float = 0.05,
+    l2: float = 1e-4,
+    seed: int = 1111,
+) -> Dict[str, float]:
+    """STS-B / SICK-Relatedness regression head over frozen embeddings.
+
+    The SentEval protocol (reference: SentEval/senteval/tools/relatedness.py):
+    features [u*v, |u-v|], softmax regression trained with KL against the
+    Tai-style score distribution; prediction = expected class value.
+    Train on data["train"], report Pearson/Spearman on data["test"].
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def feats(split):
+        a, b, s = data[split]
+        ua = _embed_corpus(embed_fn, tokenize_fn, a, batch_size)
+        ub = _embed_corpus(embed_fn, tokenize_fn, b, batch_size)
+        X = np.concatenate([ua * ub, np.abs(ua - ub)], axis=1).astype(np.float32)
+        return X, np.asarray(s, np.float32)
+
+    Xtr, str_ = feats("train")
+    Xte, ste = feats("test")
+    Ytr = _score_distribution(str_, n_classes)
+
+    D = Xtr.shape[1]
+    params = {
+        "w": jnp.zeros((D, n_classes), jnp.float32),
+        "b": jnp.zeros((n_classes,), jnp.float32),
+    }
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, X, Y):
+        def loss_fn(p):
+            logp = jax.nn.log_softmax(X @ p["w"] + p["b"], -1)
+            kl = -jnp.mean(jnp.sum(Y * logp, axis=-1))
+            return kl + l2 * jnp.sum(p["w"] ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, loss
+
+    Xj, Yj = jnp.asarray(Xtr), jnp.asarray(Ytr)
+    for _ in range(epochs):
+        params, opt, _ = step(params, opt, Xj, Yj)
+
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(Xte) @ params["w"] + params["b"], -1))
+    classes = np.arange(1, n_classes + 1, dtype=np.float32)
+    pred = probs @ classes
+    pearson = float(np.corrcoef(pred, ste)[0, 1])
+    return {
+        "pearson": pearson,
+        "spearman": spearman(pred, ste),
+        "mse": float(np.mean((pred - ste) ** 2)),
+    }

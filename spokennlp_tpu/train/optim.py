@@ -34,8 +34,11 @@ def noam_schedule(model_size: int, factor: float, warmup_steps: int) -> optax.Sc
     """Noam LR (PALM 2.0 title generation recipe)."""
 
     def schedule(step):
+        import jax.numpy as jnp
+
         step = step + 1
-        return factor * model_size ** (-0.5) * min(
+        # jnp.minimum: the schedule runs on a traced step inside jit
+        return factor * model_size ** (-0.5) * jnp.minimum(
             step ** (-0.5), step * warmup_steps ** (-1.5)
         )
 

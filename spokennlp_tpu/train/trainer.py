@@ -46,15 +46,23 @@ logger = logging.getLogger("spokennlp_tpu.trainer")
 
 
 class MetricLogger:
-    """JSONL metric stream (one line per event) + stdout."""
+    """JSONL metric stream (one line per event) + stdout + optional
+    TensorBoard events (the reference's report_to tensorboard,
+    run_finetune.sh / sld run.sh:255)."""
 
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], tensorboard_dir: Optional[str] = None):
         self.path = path
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
+        self._tb = None
+        if tensorboard_dir:
+            from flax.metrics import tensorboard as _tb
+
+            os.makedirs(tensorboard_dir, exist_ok=True)
+            self._tb = _tb.SummaryWriter(tensorboard_dir)
 
     def log(self, event: Dict):
         event = {**event, "time": time.time()}
@@ -63,10 +71,21 @@ class MetricLogger:
         if self._f:
             self._f.write(line + "\n")
             self._f.flush()
+        if self._tb is not None:
+            step = int(event.get("step", 0))
+            tag = event.get("event", "metrics")
+            for k, v in event.items():
+                if k in ("event", "step", "time", "epoch"):
+                    continue
+                if isinstance(v, (int, float)):
+                    self._tb.scalar(f"{tag}/{k}", float(v), step)
+            self._tb.flush()
 
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class TopicSegTrainer:
@@ -90,7 +109,7 @@ class TopicSegTrainer:
         self.train_docs = list(train_docs)
         self.eval_docs = list(eval_docs) if eval_docs else None
         self.metric_for_best = metric_for_best
-        self.metrics_log = MetricLogger(log_path)
+        self.metrics_log = MetricLogger(log_path, train_cfg.tensorboard_dir)
 
         # SPMD mesh over all devices: data-parallel batch sharding (the
         # reference's DDP default, run_finetune.sh:61) with an optional
@@ -106,6 +125,7 @@ class TopicSegTrainer:
                 self.wcfg,
                 np.random.default_rng(train_cfg.seed),
                 task_cfg.tssp_ablation,
+                num_proc=train_cfg.preprocessing_num_workers,
             )
         )
         steps_per_epoch = max(n_windows // self.batch_size, 1)
@@ -172,6 +192,7 @@ class TopicSegTrainer:
                 self.batch_size,
                 data_rng,
                 drop_last=False,
+                num_proc=cfg.preprocessing_num_workers,
             ):
                 jb = mesh_lib.shard_batch(batch, self.mesh)
                 self.state, metrics = self.step_fn(self.state, jb, self.rng)

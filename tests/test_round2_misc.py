@@ -1,0 +1,217 @@
+"""Round-2 items: Ditto transfer harness + recipes, seq2seq beam, title-gen
+CLI, TensorBoard writer, num_proc featurization."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------------ ditto
+def _toy_embed_setup(H=8, seed=0):
+    """Deterministic 'embeddings': hash words into an H-dim bag vector.
+    tokenize follows the _embed_corpus contract: batch of sentences ->
+    padded (ids, mask) arrays."""
+    rng = np.random.default_rng(seed)
+    table = rng.normal(size=(97, H)).astype(np.float32)
+
+    def tokenize(sentences):
+        rows = [[1 + hash(w) % 96 for w in s.split()] or [0] for s in sentences]
+        L = max(len(r) for r in rows)
+        ids = np.zeros((len(rows), L), np.int32)
+        mask = np.zeros((len(rows), L), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        return ids, mask
+
+    def embed(ids_batch, mask_batch):
+        ids_batch = np.asarray(ids_batch)
+        mask_batch = np.asarray(mask_batch)
+        out = np.zeros((len(ids_batch), H), np.float32)
+        for i, (ids, m) in enumerate(zip(ids_batch, mask_batch)):
+            keep = [int(t) for t, mm in zip(ids, m) if mm]
+            out[i] = table[keep].mean(0) if keep else 0.0
+        return out
+
+    return tokenize, embed
+
+
+def test_ditto_recipes():
+    from spokennlp_tpu.projects.ditto import recipe_for
+
+    assert recipe_for("bert-base-uncased") == (0, 9)
+    assert recipe_for("FacebookAI/roberta-base") == (0, 4)
+    assert recipe_for("google/electra-base-discriminator") == (0, 10)
+    assert recipe_for("sbert-nli") == (2, 6)
+    assert recipe_for("unknown-model") == (0, 9)
+
+
+def test_transfer_classification_probing():
+    """Linearly separable toy task: the probing harness must find it."""
+    from spokennlp_tpu.projects import ditto as D
+
+    tokenize, embed = _toy_embed_setup()
+
+    def embed_fn(ids, mask):
+        return embed(ids, mask)
+
+    # label = does the sentence contain the word "good"
+    rng = np.random.default_rng(1)
+    words = ["alpha", "beta", "gamma", "delta"]
+    def make(n):
+        sents, labels = [], []
+        for _ in range(n):
+            s = list(rng.choice(words, size=4))
+            y = int(rng.random() < 0.5)
+            if y:
+                s[int(rng.integers(0, 4))] = "good"
+            sents.append(" ".join(s))
+            labels.append(y)
+        return sents, labels
+
+    # monkeypatch _embed_corpus's batching contract: reuse the real one
+    tasks = {
+        "toy_split": {"train": make(120), "test": make(40)},
+        "toy_kfold": {"all": make(120)},
+    }
+    res = D.evaluate_transfer_classification(
+        lambda ids, am: embed(ids, am), tokenize, tasks, batch_size=16, kfold=3
+    )
+    assert res["toy_split"]["acc"] > 85.0
+    assert res["toy_kfold"]["acc"] > 85.0
+
+
+def test_similarity_regression_head():
+    from spokennlp_tpu.projects import ditto as D
+
+    tokenize, embed = _toy_embed_setup()
+    rng = np.random.default_rng(2)
+    vocab = ["cat", "dog", "car", "tree", "sun", "moon"]
+
+    def make(n):
+        a, b, s = [], [], []
+        for _ in range(n):
+            w1 = list(rng.choice(vocab, size=3))
+            overlap = int(rng.integers(0, 4))
+            w2 = w1[:overlap] + list(rng.choice(vocab, size=3 - overlap))
+            a.append(" ".join(w1))
+            b.append(" ".join(w2))
+            s.append(1.0 + 4.0 * overlap / 3.0)  # similarity in [1, 5]
+        return a, b, s
+
+    data = {"train": make(200), "test": make(60)}
+    res = D.evaluate_similarity_regression(
+        lambda ids, am: embed(ids, am), tokenize, data, batch_size=32, epochs=200
+    )
+    assert res["pearson"] > 0.5
+    assert res["spearman"] > 0.4
+
+
+def test_score_distribution_encoding():
+    from spokennlp_tpu.projects.ditto import _score_distribution
+
+    y = _score_distribution(np.asarray([1.0, 2.5, 5.0]))
+    np.testing.assert_allclose(y[0], [1, 0, 0, 0, 0])
+    np.testing.assert_allclose(y[1], [0, 0.5, 0.5, 0, 0])
+    np.testing.assert_allclose(y[2], [0, 0, 0, 0, 1])
+
+
+# ---------------------------------------------------------------- seq2seq
+def test_beam_decode_beam1_equals_greedy():
+    from spokennlp_tpu.configs import EncoderConfig
+    from spokennlp_tpu.models.seq2seq import (
+        Seq2SeqConfig, Seq2SeqModel, beam_decode, greedy_decode)
+
+    enc = EncoderConfig(vocab_size=40, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32,
+                        max_position_embeddings=16, add_pooler=False)
+    cfg = Seq2SeqConfig(vocab_size=40, hidden_size=16, num_decoder_layers=1,
+                        num_heads=2, intermediate_size=32, max_target_length=8,
+                        bos_token_id=1, eos_token_id=2, pad_token_id=0)
+    model = Seq2SeqModel(enc, cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 39, size=(3, 10)), jnp.int32)
+    am = jnp.ones((3, 10), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, am,
+                        jnp.ones((3, 4), jnp.int32))["params"]
+    g = np.asarray(greedy_decode(model, params, ids, am))
+    b1 = np.asarray(beam_decode(model, params, ids, am, num_beams=1))
+    np.testing.assert_array_equal(g, b1)
+    b4 = np.asarray(beam_decode(model, params, ids, am, num_beams=4))
+    assert b4.shape == (3, 8)
+
+
+def test_title_generation_cli(tmp_path):
+    from spokennlp_tpu.cli import run_title_generation
+
+    rng = np.random.default_rng(0)
+    def meeting(i):
+        sents = [{"s": f"sentence {j} of meeting {i} . "} for j in range(6)]
+        return {
+            "meeting_key": f"M{i}",
+            "sentences": sents,
+            "topic_segment_ids": [
+                {"id": 3, "candidate": [{"title": "first topic"},
+                                        {"title": "opening part"}]},
+                {"id": 6, "candidate": [{"title": "second topic"}]},
+            ],
+        }
+    for name, n in (("train.jsonl", 4), ("dev.jsonl", 2)):
+        with open(tmp_path / name, "w") as f:
+            for i in range(n):
+                f.write(json.dumps(meeting(i)) + "\n")
+    res = run_title_generation.main([
+        "--train_file", str(tmp_path / "train.jsonl"),
+        "--eval_file", str(tmp_path / "dev.jsonl"),
+        "--output_dir", str(tmp_path / "out"),
+        "--max_source_length", "64", "--max_target_length", "12",
+        "--hidden_size", "16", "--num_hidden_layers", "1",
+        "--num_decoder_layers", "1", "--num_attention_heads", "2",
+        "--intermediate_size", "32", "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "2", "--num_beams", "2",
+    ])
+    assert "rouge1" in res["final"] and "rougeL" in res["final"]
+    assert os.path.exists(tmp_path / "out" / "track3_submission.json")
+    sub = json.load(open(tmp_path / "out" / "track3_submission.json"))
+    assert sub and "topic_segment_ids" in sub[0]
+
+
+# ------------------------------------------------------------- tensorboard
+def test_metric_logger_tensorboard(tmp_path):
+    from spokennlp_tpu.train.trainer import MetricLogger
+
+    tb = str(tmp_path / "tb")
+    ml = MetricLogger(str(tmp_path / "m.jsonl"), tensorboard_dir=tb)
+    ml.log({"event": "train", "step": 1, "loss": 0.5})
+    ml.log({"event": "eval", "step": 2, "f1": 0.7})
+    ml.close()
+    events = [f for f in os.listdir(tb) if "tfevents" in f]
+    assert events, "no tensorboard event files written"
+
+
+# ----------------------------------------------------------- num_proc
+def test_featurize_paired_num_proc_matches_serial():
+    from spokennlp_tpu.configs import WindowingConfig
+    from spokennlp_tpu.data.featurization import featurize_paired
+
+    rng = np.random.default_rng(0)
+    docs = [
+        {"sent_token_ids": [rng.integers(5, 90, size=4).tolist()
+                            for _ in range(6)],
+         "labels": rng.integers(0, 2, size=6).tolist()}
+        for _ in range(6)
+    ]
+    wcfg = WindowingConfig(max_seq_length=48, cls_token_id=2, pad_token_id=0,
+                           bos_token_id=1)
+    p1 = featurize_paired(docs, wcfg, np.random.default_rng(7), num_proc=1)
+    p4 = featurize_paired(docs, wcfg, np.random.default_rng(7), num_proc=4)
+    assert len(p1) == len(p4) > 0
+    for (a1, d1), (a4, d4) in zip(p1, p4):
+        np.testing.assert_array_equal(a1.input_ids, a4.input_ids)
+        np.testing.assert_array_equal(d1.input_ids, d4.input_ids)
+        np.testing.assert_array_equal(a1.labels, a4.labels)
