@@ -127,3 +127,43 @@ def data_statistics(examples: Sequence[Dict]) -> Dict[str, float]:
         "topic_boundaries": n_boundaries,
         "avg_sentences_per_doc": n_sents / max(n_docs, 1),
     }
+
+
+def abridge_model_name(model_name_or_path: str) -> str:
+    """Short model tag for result-file naming (reference:
+    emnlp2023-topic_segmentation/src/utils.py:7-20)."""
+    name = model_name_or_path.lower()
+    if "longformer" in name:
+        return "lf"
+    if "bigbird" in name:
+        return "bb"
+    if "electra" in name:
+        return "ele"
+    if "bert" in name:
+        return "bert"
+    raise ValueError(f"not supported model_name: {model_name_or_path}")
+
+
+def convert_res_format(file_path: str, threshold) -> str:
+    """Results json -> 'p / r / f / pk / wd' one-liner next to the file
+    (reference: src/utils.py:22-48). Returns the formatted string."""
+    import json
+    import os
+
+    with open(file_path) as f:
+        res = json.load(f)
+    prefix = f"threshold_{threshold}_example_level"
+    vals = [
+        res[f"{prefix}_{k}"] for k in ("precision", "recall", "f1", "pk", "wd")
+    ]
+    line = (
+        f"{prefix}_metric\n"
+        + " / ".join(f"{float(v) * 100:.2f}" for v in vals)
+    )
+    out_path = os.path.join(
+        os.path.dirname(file_path),
+        os.path.basename(file_path).split(".json")[0] + "_str_metric.txt",
+    )
+    with open(out_path, "w") as f:
+        f.write("p / r / f / pk / wd\n" + line + "\n\n")
+    return line
