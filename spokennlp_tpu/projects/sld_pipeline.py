@@ -189,25 +189,56 @@ def dump_wavlm_features(
     wav_arrays: Sequence[np.ndarray],
     layer: int = 23,
     model_name: str = "microsoft/wavlm-large",
-    device: str = "cpu",
+    device: str = "tpu",
     max_chunk: int = 1_600_000,
 ) -> List[np.ndarray]:
     """Frozen WavLM layer-k features (reference: simple_kmeans/
-    dump_wavlm_feature.py:38-112). Host-side torch; requires the checkpoint
-    to be locally available (zero-egress environments must pre-stage it)."""
-    import torch
-    from transformers import WavLMModel
+    dump_wavlm_feature.py:38-112).
 
-    model = WavLMModel.from_pretrained(model_name).to(device).eval()
-    feats = []
-    with torch.no_grad():
-        for wav in wav_arrays:
-            x = torch.tensor(wav, dtype=torch.float32, device=device)[None, :]
-            chunks = []
-            for start in range(0, x.shape[1], max_chunk):
-                out = model(
-                    x[:, start : start + max_chunk], output_hidden_states=True
-                )
-                chunks.append(out.hidden_states[layer][0].cpu().numpy())
-            feats.append(np.concatenate(chunks, axis=0))
-    return feats
+    device="tpu" (default) runs the Flax WavLM (models/wavlm.py,
+    weight-converted from the HF checkpoint, parity-tested) through JAX —
+    the reference fans this stage out over GPUs; here one jitted program
+    streams max_chunk windows per utterance. device="torch" keeps the
+    host-torch fallback. Either way the checkpoint must be locally staged
+    (zero-egress environment)."""
+    if device == "torch":
+        import torch
+        from transformers import WavLMModel as HFWavLM
+
+        model = HFWavLM.from_pretrained(model_name).to("cpu").eval()
+        feats = []
+        with torch.no_grad():
+            for wav in wav_arrays:
+                x = torch.tensor(wav, dtype=torch.float32)[None, :]
+                chunks = []
+                for start in range(0, x.shape[1], max_chunk):
+                    out = model(
+                        x[:, start : start + max_chunk], output_hidden_states=True
+                    )
+                    chunks.append(out.hidden_states[layer][0].cpu().numpy())
+                feats.append(np.concatenate(chunks, axis=0))
+        return feats
+
+    from transformers import WavLMModel as HFWavLM
+
+    from spokennlp_tpu.models.wavlm import (
+        WavLMModel,
+        extract_wavlm_features,
+        hf_wavlm_config_to_config,
+        hf_wavlm_to_params,
+    )
+
+    hf = HFWavLM.from_pretrained(model_name)
+    cfg = hf_wavlm_config_to_config(hf.config)
+    params = hf_wavlm_to_params(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg
+    )
+    del hf
+    model = WavLMModel(cfg)
+    return [
+        extract_wavlm_features(
+            model, params, np.asarray(wav, np.float32)[None, :], layer,
+            chunk_samples=max_chunk,
+        )[0]
+        for wav in wav_arrays
+    ]
