@@ -109,7 +109,12 @@ def evaluate_video_corpus(
     total_hits = total_labels = total_preds = 0
     for ex in examples:
         secs = ex["clip_end_seconds"]
-        label_ends = [s for s, l in zip(secs, ex["labels"]) if l == 1]
+        # explicit ground-truth boundary seconds override the clip-derived
+        # ones (the reference's LLM path scores against topic_end_seconds,
+        # evaluate.py:93-99)
+        label_ends = ex.get("label_end_seconds") or [
+            s for s, l in zip(secs, ex["labels"]) if l == 1
+        ]
         pred_ends = [s for s, p in zip(secs, ex["preds"]) if p == 1]
         if not label_ends or label_ends[-1] != secs[-1]:
             label_ends = label_ends + [secs[-1]]
@@ -149,3 +154,67 @@ def summarize_runs(run_metrics: Sequence[Dict[str, float]]) -> Dict[str, str]:
         k: f"{np.mean([m[k] for m in run_metrics]):.4f}±{np.std([m[k] for m in run_metrics]):.4f}"
         for k in keys
     }
+
+
+def evaluate_video_corpus_by_type(
+    examples: Sequence[Dict],
+    type_of: Dict[str, str],
+    bs_threshold: float = 30.0,
+) -> Dict[str, Dict[str, float]]:
+    """Per-video-type metric breakdown (reference: mmvts/src/evaluate.py:
+    534-613 evaluate_by_type, which groups courses by en/cn type tables).
+
+    ``type_of`` maps example/video ids to type names; examples carry an
+    "example_id". Returns {"__all__": overall, <type>: metrics}.
+    """
+    out = {"__all__": evaluate_video_corpus(examples, bs_threshold)}
+    by_type: Dict[str, list] = {}
+    for ex in examples:
+        t = type_of.get(str(ex.get("example_id", "")), None)
+        if t is not None:
+            by_type.setdefault(t, []).append(ex)
+    for t, exs in sorted(by_type.items()):
+        out[t] = evaluate_video_corpus(exs, bs_threshold)
+    return out
+
+
+def llm_predictions_to_examples(
+    data_rows: Sequence[Dict], pred_rows: Sequence[Dict],
+    prediction_key: str = "predict",
+) -> List[Dict]:
+    """Score LLM-generated 0/1 boundary predictions (reference:
+    evaluate.py:84-109 get_llm_result + :706-725 evaluate_llm): truncate the
+    LLM output to the label length (LLMs over/under-generate), force the
+    final clip to close a topic on BOTH sides, take prediction boundary
+    seconds from the clip end times ("stet") and ground-truth seconds from
+    topic_end_seconds."""
+    examples = []
+    for d, p in zip(data_rows, pred_rows):
+        labels = list(d["labels"])[:-1]
+        raw = list(p[prediction_key])[: len(labels)]
+        preds = [1 if v in (1, "1") else 0 for v in raw]
+        preds += [0] * (len(labels) - len(preds))
+        labels.append(1)
+        preds.append(1)
+        secs = [float(st[1]) for st in d["stet"]][: len(labels)]
+        while len(secs) < len(labels):
+            secs.append(secs[-1] if secs else 0.0)
+        examples.append({
+            "example_id": d.get("example_id", ""),
+            "labels": labels,
+            "preds": preds,
+            "clip_end_seconds": secs,
+            "label_end_seconds": [float(v) for v in d["topic_end_seconds"]],
+        })
+    return examples
+
+
+def evaluate_llm_corpus(
+    data_rows: Sequence[Dict], pred_rows: Sequence[Dict],
+    bs_threshold: float = 30.0, prediction_key: str = "predict",
+) -> Dict[str, float]:
+    """Full LLM-prediction scoring (evaluate_llm, evaluate.py:706-725)."""
+    return evaluate_video_corpus(
+        llm_predictions_to_examples(data_rows, pred_rows, prediction_key),
+        bs_threshold,
+    )

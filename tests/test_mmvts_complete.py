@@ -168,3 +168,29 @@ def test_multimodal_cli_pretrain_mode(tmp_path):
         "--num_train_epochs", "1", "--per_device_train_batch_size", "1",
     ])
     assert np.isfinite(res["history"][-1]["total_loss"])
+
+
+def test_video_type_breakdown_and_llm_scoring():
+    from spokennlp_tpu.eval.video_metrics import (
+        evaluate_llm_corpus, evaluate_video_corpus_by_type)
+
+    examples = [
+        {"example_id": "lecA", "labels": [0, 1, 0, 1], "preds": [0, 1, 0, 1],
+         "clip_end_seconds": [10.0, 20.0, 30.0, 40.0]},
+        {"example_id": "lecB", "labels": [1, 0, 1], "preds": [0, 0, 1],
+         "clip_end_seconds": [10.0, 20.0, 30.0]},
+    ]
+    res = evaluate_video_corpus_by_type(
+        examples, {"lecA": "math", "lecB": "bio"})
+    assert set(res) == {"__all__", "math", "bio"}
+    assert res["math"]["clip_f1"] == 1.0       # perfect predictions
+    assert res["bio"]["clip_f1"] < 1.0
+
+    # LLM path: over-long prediction list truncated, final boundary forced
+    data = [{"example_id": "lecA",
+             "labels": [0, 1, 0, 1],
+             "topic_end_seconds": [20.0, 40.0],
+             "stet": [[0, 10], [10, 20], [20, 30], [30, 40]]}]
+    pred = [{"predict": [0, 1, 0, 1, 1, 0, 1]}]   # LLM over-generated
+    m = evaluate_llm_corpus(data, pred)
+    assert m["clip_f1"] == 1.0 and m["miou"] == 1.0
