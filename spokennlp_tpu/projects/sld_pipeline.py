@@ -242,3 +242,227 @@ def dump_wavlm_features(
         )[0]
         for wav in wav_arrays
     ]
+
+
+# ------------------------------------------------------ stage orchestration
+
+
+def read_wav(path: str) -> np.ndarray:
+    """16-bit PCM wav -> float32 in [-1, 1] (stdlib; no torchaudio)."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x
+
+
+def make_labels(manifest_lines: Sequence[str], transcript_map: Dict[str, str]):
+    """Word transcripts aligned to a manifest (reference: fairseq/examples/
+    wav2vec/libri_labels.py extracts .wrd lines per manifest row)."""
+    out = []
+    for line in manifest_lines[1:]:  # line 0 = root
+        rel = line.split("\t")[0]
+        key = os.path.splitext(os.path.basename(rel))[0]
+        out.append(transcript_map.get(rel, transcript_map.get(key, "")))
+    return out
+
+
+def run_sld_stages(
+    audio_dir: str,
+    transcript_file: str,
+    work_dir: str,
+    start_stage: int = 1,
+    stop_stage: int = 7,
+    speeds: Sequence[float] = (0.9, 1.0, 1.1),
+    nshard: int = 1,
+    rank: Optional[int] = None,
+    feature_fn=None,
+    layer: int = 23,
+    model_name: str = "microsoft/wavlm-large",
+    n_clusters: int = 100,
+    kmeans_percent: float = 0.1,
+    bpe_vocab_size: int = 200,
+    valid_percent: float = 0.1,
+    seed: int = 42,
+    train_kwargs: Optional[Dict] = None,
+) -> Dict:
+    """The reference's 8-stage pipeline (sld/run.sh:51-280) as one driver.
+
+      1 manifests        3 learn k-means      5 join tokens+text jsonl
+      2 feature dump     4 dump .km tokens    6 speech-token BPE
+      (speed-perturbed, sharded over ranks)   7 train (cli/run_sld)
+
+    Stage 2 fans out like the reference's per-(speed, shard) GPU jobs
+    (run.sh:104-130): with ``rank`` set, only that shard's features are
+    dumped (run one process per rank); with rank=None all shards run
+    serially. k-means uses speed 1.0 features only, like the reference.
+    ``feature_fn(wave) -> (frames, D)`` defaults to the Flax WavLM tap at
+    ``layer`` (models/wavlm.py) with weights from ``model_name``.
+    """
+    import json
+
+    os.makedirs(work_dir, exist_ok=True)
+    state: Dict = {}
+
+    def stage_on(i):
+        return start_stage <= i <= stop_stage
+
+    man_path = os.path.join(work_dir, "manifests.json")
+    if stage_on(1):
+        manifests = make_manifest(
+            audio_dir, ext="wav", valid_percent=valid_percent, seed=seed
+        )
+        tmap: Dict[str, str] = {}
+        with open(transcript_file) as f:
+            for line in f:
+                if "\t" in line:
+                    k, v = line.rstrip("\n").split("\t", 1)
+                    tmap[k] = v
+        labels = {s: make_labels(manifests[s], tmap) for s in manifests}
+        with open(man_path, "w") as f:
+            json.dump({"manifests": manifests, "labels": labels}, f)
+    if stop_stage < 2:
+        return state
+    with open(man_path) as f:
+        man = json.load(f)
+    manifests, labels = man["manifests"], man["labels"]
+
+    if feature_fn is None:
+        from spokennlp_tpu.models.wavlm import (
+            WavLMModel,
+            extract_wavlm_features,
+            hf_wavlm_config_to_config,
+            hf_wavlm_to_params,
+        )
+        from transformers import WavLMModel as HFWavLM
+
+        hf = HFWavLM.from_pretrained(model_name)
+        cfg = hf_wavlm_config_to_config(hf.config)
+        params = hf_wavlm_to_params(
+            {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg
+        )
+        model = WavLMModel(cfg)
+
+        def feature_fn(wave):
+            return extract_wavlm_features(model, params, wave[None], layer)[0]
+
+    feat_dir = os.path.join(work_dir, "feats")
+    os.makedirs(feat_dir, exist_ok=True)
+    if stage_on(2):
+        ranks = [rank] if rank is not None else list(range(nshard))
+        for split in manifests:
+            rows = manifests[split][1:]
+            for speed in speeds:
+                for r in ranks:
+                    shard_rows = rows[r::nshard]
+                    feats, lens = [], []
+                    for row in shard_rows:
+                        wav = read_wav(os.path.join(audio_dir, row.split("\t")[0]))
+                        wav = speed_perturb(wav, speed)
+                        f = np.asarray(feature_fn(wav), np.float32)
+                        feats.append(f)
+                        lens.append(len(f))
+                    tag = f"{split}_sp{speed}_{r}_{nshard}"
+                    np.save(
+                        os.path.join(feat_dir, tag + ".npy"),
+                        np.concatenate(feats, 0) if feats else np.zeros((0, 1)),
+                    )
+                    np.save(os.path.join(feat_dir, tag + ".len.npy"),
+                            np.asarray(lens, np.int64))
+
+    km_path = os.path.join(work_dir, "kmeans_centers.npy")
+    if stage_on(3):
+        # k-means on unperturbed train features across all shards (run.sh
+        # stage 3 samples ~10% of speed-1.0 features)
+        parts = [
+            np.load(os.path.join(feat_dir, f"train_sp1.0_{r}_{nshard}.npy"))
+            for r in range(nshard)
+        ]
+        allfeat = np.concatenate([p for p in parts if len(p)], 0)
+        km = learn_kmeans(
+            allfeat, n_clusters=min(n_clusters, max(len(allfeat) // 2, 2)),
+            seed=seed, percent=kmeans_percent if len(allfeat) > 100 else 1.0,
+        )
+        np.save(km_path, km.cluster_centers_)
+        state["kmeans"] = km
+
+    class _KM:  # apply_kmeans duck type
+        pass
+
+    if stage_on(4) or stage_on(5):
+        km = _KM()
+        km.cluster_centers_ = np.load(km_path)
+
+    tokens_path = os.path.join(work_dir, "speech_tokens.json")
+    if stage_on(4):
+        tokens: Dict[str, Dict[str, list]] = {}
+        for split in manifests:
+            tokens[split] = {}
+            for speed in speeds:
+                rows_tokens = [None] * len(manifests[split][1:])
+                for r in range(nshard):
+                    tag = f"{split}_sp{speed}_{r}_{nshard}"
+                    flat = np.load(os.path.join(feat_dir, tag + ".npy"))
+                    lens = np.load(os.path.join(feat_dir, tag + ".len.npy"))
+                    pos = 0
+                    for j, ln in enumerate(lens):
+                        toks = apply_kmeans(km, flat[pos : pos + ln])
+                        rows_tokens[r + j * nshard] = dedupe_runs(toks.tolist())
+                        pos += ln
+                tokens[split][str(speed)] = rows_tokens
+        with open(tokens_path, "w") as f:
+            json.dump(tokens, f)
+
+    join_paths = {}
+    if stage_on(5):
+        with open(tokens_path) as f:
+            tokens = json.load(f)
+        for split in manifests:
+            path = os.path.join(work_dir, f"{split}.jsonl")
+            with open(path, "w") as f:
+                for speed in speeds if split == "train" else ["1.0"]:
+                    for toks, text in zip(tokens[split][str(speed)], labels[split]):
+                        if toks and text:
+                            f.write(json.dumps(
+                                {"speech_tokens": toks, "text": text}) + "\n")
+            join_paths[split] = path
+        state["join_paths"] = join_paths
+
+    if stage_on(6):
+        with open(tokens_path) as f:
+            tokens = json.load(f)
+        corpus = [
+            " ".join(str(t) for t in row)
+            for row in tokens["train"]["1.0"]
+            if row
+        ]
+        merges = train_bpe(corpus, vocab_size=bpe_vocab_size)
+        with open(os.path.join(work_dir, "bpe_merges.txt"), "w") as f:
+            for a, b in merges:
+                f.write(f"{a} {b}\n")
+        state["bpe_merges"] = merges
+
+    if stage_on(7):
+        from spokennlp_tpu.cli import run_sld
+
+        kw = dict(train_kwargs or {})
+        args = [
+            "--train_file", os.path.join(work_dir, "train.jsonl"),
+            "--eval_file", os.path.join(work_dir, "valid.jsonl"),
+            "--output_dir", os.path.join(work_dir, "train_out"),
+        ]
+        for k, v in kw.items():
+            args += [f"--{k}", str(v)]
+        state["train_result"] = run_sld.main(args)
+    return state

@@ -117,3 +117,71 @@ def test_run_sld_cli_smoke(tmp_path):
     assert "wer" in res["final"]
     import os
     assert os.path.exists(tmp_path / "out" / "sld_results.json")
+
+
+def test_run_sld_stages_end_to_end(tmp_path):
+    """The full 7-stage pipeline on synthetic wavs with a toy feature fn:
+    manifests -> sharded speed-perturbed features -> k-means -> dedup'd
+    tokens -> joined jsonl -> BPE -> 1-epoch train (run.sh:51-280)."""
+    import wave as wavemod
+
+    from spokennlp_tpu.projects.sld_pipeline import run_sld_stages
+
+    rng = np.random.default_rng(0)
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    words = ["yes", "no", "maybe"]
+    lines = []
+    for i in range(6):
+        t = np.linspace(0, 1, 3200)
+        wav = (0.3 * np.sin(2 * np.pi * (100 + 60 * i) * t)).astype(np.float32)
+        pcm = (wav * 32767).astype(np.int16)
+        with wavemod.open(str(audio / f"utt{i}.wav"), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        lines.append(f"utt{i}\t{words[i % 3]} {words[(i + 1) % 3]}")
+    (tmp_path / "trans.tsv").write_text("\n".join(lines))
+
+    def toy_feature_fn(wav):
+        # framewise 4-dim features (frame = 400 samples)
+        n = len(wav) // 400
+        return np.stack([
+            wav[: n * 400].reshape(n, 400)[:, :100].mean(1),
+            wav[: n * 400].reshape(n, 400).std(1),
+            wav[: n * 400].reshape(n, 400).max(1),
+            wav[: n * 400].reshape(n, 400).min(1),
+        ], axis=1).astype(np.float32)
+
+    # stage 2 fan-out: dump shard 0 and shard 1 in separate calls
+    common = dict(
+        audio_dir=str(audio), transcript_file=str(tmp_path / "trans.tsv"),
+        work_dir=str(tmp_path / "work"), speeds=(0.9, 1.0),
+        nshard=2, feature_fn=toy_feature_fn, n_clusters=6,
+        valid_percent=0.34, seed=0,
+    )
+    run_sld_stages(start_stage=1, stop_stage=1, **common)
+    run_sld_stages(start_stage=2, stop_stage=2, rank=0, **common)
+    run_sld_stages(start_stage=2, stop_stage=2, rank=1, **common)
+    state = run_sld_stages(
+        start_stage=3, stop_stage=7,
+        train_kwargs={
+            "vocab_size_speech": "8", "block_size": "48",
+            "max_text_length": "8", "per_device_train_batch_size": "2",
+            "num_train_epochs": "1", "hidden_size": "16",
+            "num_hidden_layers": "1", "num_attention_heads": "2",
+            "decode_max_len": "48", "learning_rate": "1e-3",
+        },
+        **common,
+    )
+    import os
+    wd = tmp_path / "work"
+    assert os.path.exists(wd / "kmeans_centers.npy")
+    assert os.path.exists(wd / "train.jsonl") and os.path.exists(wd / "valid.jsonl")
+    assert os.path.exists(wd / "bpe_merges.txt")
+    assert "wer" in state["train_result"]["final"]
+    # joined rows have dedup'd integer tokens + text
+    import json as j
+    row = j.loads(open(wd / "train.jsonl").readline())
+    assert row["speech_tokens"] and isinstance(row["speech_tokens"][0], int)
+    assert all(a != b for a, b in zip(row["speech_tokens"],
+                                      row["speech_tokens"][1:]))
