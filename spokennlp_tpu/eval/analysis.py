@@ -167,3 +167,44 @@ def convert_res_format(file_path: str, threshold) -> str:
     with open(out_path, "w") as f:
         f.write("p / r / f / pk / wd\n" + line + "\n\n")
     return line
+
+
+def plot_metric_curves(
+    x_values,
+    series,
+    out_path: str,
+    xlabel: str = "context length",
+    ylabel: str = "F1",
+    annotate: bool = True,
+):
+    """Line plot of metric curves across a sweep (reference:
+    emnlp2023-topic_segmentation/src/analysis/plot_figure.py — F1 vs context
+    length, dashed baselines vs solid ours, point annotations).
+
+    ``series``: {label: (values, style_dict)} or {label: values}. Headless
+    backend; writes a file and returns the path.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, spec in series.items():
+        if isinstance(spec, tuple):
+            values, style = spec
+        else:
+            values, style = spec, {}
+        ax.plot(x_values, values, marker=style.get("marker", "o"),
+                linestyle=style.get("linestyle", "-"),
+                color=style.get("color"), label=label)
+        if annotate:
+            for xv, yv in zip(x_values, values):
+                ax.text(xv, yv, f"{yv}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
