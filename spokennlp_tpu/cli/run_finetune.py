@@ -111,14 +111,16 @@ def main_single(args):
     # --resume_from_checkpoint names an explicit checkpoint root; otherwise
     # auto-detect the newest checkpoint under the output dir (HF
     # get_last_checkpoint semantics, ts_sentence_seq_labeling.py:117-129).
-    restored = False
     if args.resume_from_checkpoint:
-        restored = trainer.restore_latest(args.resume_from_checkpoint)
-        if not restored:
-            print(
-                f"[warn] no checkpoint found at {args.resume_from_checkpoint}"
+        # an explicit path must resolve: silently training from the wrong
+        # state is worse than failing (HF Trainer errors here too)
+        if not trainer.restore_latest(args.resume_from_checkpoint):
+            raise FileNotFoundError(
+                f"--resume_from_checkpoint: no checkpoint under "
+                f"{args.resume_from_checkpoint}"
             )
-    if not restored:
+        restored = True
+    else:
         restored = trainer.restore_latest()
     if restored:
         print("resumed from checkpoint")

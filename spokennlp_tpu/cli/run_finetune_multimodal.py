@@ -118,6 +118,7 @@ def main(argv=None):
 
     splits = corpora.load_dataset_splits(args.dataset_name, args.data_dir)
     windows = {}
+    _clip_times = {}
     for split, examples in splits.items():
         limit = {"train": args.max_train_samples,
                  "validation": args.max_eval_samples,
@@ -125,10 +126,10 @@ def main(argv=None):
         if limit:
             examples = examples[:limit]
         rows = []
+        by_id = {e["example_id"]: e for e in examples}
         for ex in corpora.tokenize_examples(examples, tokenize_fn):
-            lecture = next(
-                (e["lecture"] for e in examples
-                 if e["example_id"] == ex["example_id"]), str(ex["example_id"]))
+            src = by_id.get(ex["example_id"], {})
+            lecture = src.get("lecture", str(ex["example_id"]))
             inv_labels = [1 if l == 0 else 0 for l in ex["labels"]]  # to EOT=1
             rows.extend(
                 featurize_video(
@@ -139,6 +140,13 @@ def main(argv=None):
                 )
             )
         windows[split] = rows
+        # real per-clip end seconds for the time-aware eval (fallback: a
+        # uniform 10 s grid when the corpus carries no timestamps)
+        for e in examples:
+            secs = e.get("clip_end_seconds")
+            _clip_times[e["example_id"]] = (
+                [float(v) for v in secs] if secs else None
+            )
 
     model = MMVTSModel(enc_cfg, mm_cfg,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
@@ -254,10 +262,16 @@ def main(argv=None):
         examples = []
         for vid, d in per_video.items():
             cids = sorted(d["labels"])
+            times = _clip_times.get(vid)
             examples.append({
+                "example_id": vid,
                 "labels": [d["labels"][c] for c in cids],
                 "preds": [d["preds"][c] for c in cids],
-                "clip_end_seconds": [float(c + 1) * 10.0 for c in cids],
+                "clip_end_seconds": (
+                    [times[c] for c in cids]
+                    if times and max(cids) < len(times)
+                    else [float(c + 1) * 10.0 for c in cids]
+                ),
             })
         results["eval"] = evaluate_video_corpus(examples)
         print(json.dumps(results["eval"], indent=2))

@@ -90,18 +90,26 @@ def main(argv=None):
         pad_id, bos_id, eos_id = 0, 1, 2
         vocab_size = None  # resolved after corpus scan
 
-    def pairs_from(path):
+    def pairs_from(path, require_refs):
+        """All topics (for decoding/submission) or only reference-titled
+        topics (for training/rouge). Keeps the topic's segment-end sentence
+        id so the submission aligns with the label file
+        (projects/mug/evaluate.py asserts equal topic counts per meeting)."""
         out = []
         for meeting in read_jsonl(path):
             for t in parse_title_generation(meeting):
                 refs = [x for x in t["titles"] if x]
-                if t["source"] and refs:
-                    out.append({"source": t["source"], "titles": refs,
-                                "meeting_key": t["meeting_key"]})
+                if not t["source"]:
+                    continue
+                if require_refs and not refs:
+                    continue
+                out.append({"source": t["source"], "titles": refs,
+                            "meeting_key": t["meeting_key"],
+                            "segment_id": int(t["topic_span"][1])})
         return out
 
-    train_pairs = pairs_from(args.train_file)
-    eval_pairs = pairs_from(args.eval_file)
+    train_pairs = pairs_from(args.train_file, require_refs=True)
+    eval_pairs = pairs_from(args.eval_file, require_refs=False)
     assert train_pairs, "no (topic, title) training pairs"
 
     # build char vocab over everything before sizing the model
@@ -125,7 +133,8 @@ def main(argv=None):
             src = encode(r["source"])[:S]
             ids[i, : len(src)] = src
             am[i, : len(src)] = 1
-            tgt = encode(r["titles"][0])[: T - 1] + [eos_id]
+            ref = r["titles"][0] if r["titles"] else ""
+            tgt = encode(ref)[: T - 1] + [eos_id]
             dec_in[i, 0] = bos_id
             dec_in[i, 1 : len(tgt)] = tgt[:-1]
             dec_am[i, : len(tgt)] = 1
@@ -184,7 +193,43 @@ def main(argv=None):
     data_rng = np.random.default_rng(args.seed)
     bs = args.per_device_train_batch_size
     n = len(train_pairs)
+    efeats = featurize(eval_pairs)  # loop-invariant: featurize eval ONCE
+
+    def decode_eval(params):
+        hyps = []
+        for s in range(0, len(eval_pairs), bs):
+            e = min(s + bs, len(eval_pairs))
+            sl = slice(s, e)
+            gen = beam_decode(
+                model, params,
+                jnp.asarray(efeats["input_ids"][sl]),
+                jnp.asarray(efeats["attention_mask"][sl]),
+                num_beams=args.num_beams, max_len=T,
+            )
+            for row in np.asarray(gen):
+                toks = [int(t) for t in row[1:]]
+                if eos_id in toks:
+                    toks = toks[: toks.index(eos_id)]
+                hyps.append(decode(toks))
+        return hyps
+
+    def rouge_eval(hyps):
+        # multi-reference rouge averaged over the annotators' candidates
+        # (challenge_evaluate.py topic_title_generation_evaluate:349); only
+        # topics WITH references contribute (test splits may have none)
+        r1 = rl = m = 0.0
+        for hyp, r in zip(hyps, eval_pairs):
+            if not r["titles"]:
+                continue
+            scores = [rouge_scores([hyp], [ref]) for ref in r["titles"]]
+            r1 += float(np.mean([sc["rouge-1"]["f"] for sc in scores]))
+            rl += float(np.mean([sc["rouge-l"]["f"] for sc in scores]))
+            m += 1
+        m = m or 1
+        return {"rouge1": 100 * r1 / m, "rougeL": 100 * rl / m}
+
     history = []
+    hyps = []
     for epoch in range(1, args.num_train_epochs + 1):
         order = data_rng.permutation(n)
         losses = []
@@ -195,43 +240,23 @@ def main(argv=None):
             batch = {k: jnp.asarray(v[take]) for k, v in feats.items()}
             state, loss = train_step(state, batch, rng)
             losses.append(float(loss))
-
-        # per-epoch beam decode -> multi-reference rouge (avg over refs,
-        # challenge_evaluate.py topic_title_generation_evaluate:349)
-        efeats = featurize(eval_pairs)
-        hyps = []
-        for s in range(0, len(eval_pairs), bs):
-            e = min(s + bs, len(eval_pairs))
-            sl = slice(s, e)
-            gen = beam_decode(
-                model, state.params,
-                jnp.asarray(efeats["input_ids"][sl]),
-                jnp.asarray(efeats["attention_mask"][sl]),
-                num_beams=args.num_beams, max_len=T,
-            )
-            for row in np.asarray(gen):
-                toks = [int(t) for t in row[1:]]
-                if eos_id in toks:
-                    toks = toks[: toks.index(eos_id)]
-                hyps.append(decode(toks))
-        r1 = rl = 0.0
-        for hyp, r in zip(hyps, eval_pairs):
-            scores = [rouge_scores([hyp], [ref]) for ref in r["titles"]]
-            r1 += float(np.mean([sc["rouge-1"]["f"] for sc in scores]))
-            rl += float(np.mean([sc["rouge-l"]["f"] for sc in scores]))
-        m = len(eval_pairs) or 1
+        hyps = decode_eval(state.params)
         row = {"epoch": epoch, "train_loss": float(np.mean(losses)),
-               "rouge1": 100 * r1 / m, "rougeL": 100 * rl / m}
+               **rouge_eval(hyps)}
         history.append(row)
         print(json.dumps(row))
+    if not history:  # decode-only invocation (--num_train_epochs 0)
+        hyps = decode_eval(state.params)
+        history.append({"epoch": 0, **rouge_eval(hyps)})
 
     # track-3 submission for the eval split
     from spokennlp_tpu.projects.mug.data import title_generation_submission
 
     per_meeting = {}
     for hyp, r in zip(hyps, eval_pairs):
+        # ids = the topic's segment-end sentence id, matching the label file
         per_meeting.setdefault(r["meeting_key"], []).append(
-            {"id": len(per_meeting.get(r["meeting_key"], [])) + 1, "title": hyp}
+            {"id": r["segment_id"], "title": hyp}
         )
     sub = title_generation_submission(
         list(per_meeting), list(per_meeting.values())

@@ -195,14 +195,20 @@ def load_video_jsonl_examples(path: str) -> List[Dict]:
             labels = [
                 _RAW_TO_ID[v] if v in _RAW_TO_ID else IGNORE for v in ex["labels"]
             ]
-            out.append(
-                {
-                    "example_id": example_id,
-                    "lecture": lecture,
-                    "sentences": ex["text"],
-                    "labels": labels,
-                }
-            )
+            row = {
+                "example_id": example_id,
+                "lecture": lecture,
+                "sentences": ex["text"],
+                "labels": labels,
+            }
+            # per-clip [start, end] seconds when present ("stet" in the
+            # reference data schema, mmvts/src/evaluate.py:96-99) — the
+            # time-aware metrics (bs@30, mIoU) need the real time axis
+            if "stet" in ex:
+                row["clip_end_seconds"] = [float(st[1]) for st in ex["stet"]]
+            elif "clip_end_seconds" in ex:
+                row["clip_end_seconds"] = [float(v) for v in ex["clip_end_seconds"]]
+            out.append(row)
     return out
 
 

@@ -311,6 +311,7 @@ class SelfAttention(nn.Module):
             impl == "fused"
             and cfg.attention_type == "dense"
             and flash_segment_ids is not None
+            and deterministic  # no dropout / no VJP in the fused kernel
         ):
             # one-kernel attention block: qkv proj + MHA + out proj fused,
             # q/k/v never leave VMEM (ops/pallas/attention_block.py)
@@ -504,6 +505,7 @@ class TransformerLayer(nn.Module):
             and cfg.attention_type == "dense"
             and flash_segment_ids is not None
             and not output_attentions
+            and deterministic  # kernels skip dropout and have no VJP
         )
         if fused_half:
             from spokennlp_tpu.ops.pallas.mlp_block import fused_mlp_block

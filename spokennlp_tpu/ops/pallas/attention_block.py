@@ -34,12 +34,7 @@ Array = jax.Array
 NEG_INF = -1e9
 
 
-def _rowquant(xf, pl):
-    """f32 (M, K) -> int8 + (M, 1) scale, in-registers (VPU)."""
-    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    s = jnp.maximum(absmax, 1e-6) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(xf * pl.reciprocal(s, approx=False)), -127, 127)
-    return q.astype(jnp.int8), s
+from spokennlp_tpu.ops.pallas.int8_matmul import rowquant_in_kernel as _rowquant
 
 
 def _attn_block_kernel(
@@ -77,7 +72,7 @@ def _attn_block_kernel(
     # quantized mode the weights arrive int8 (per-column scales) and the
     # activations are row-quantized here — the MXU runs at the 2x int8 rate.
     if quantized:
-        x8, sx = _rowquant(x.astype(jnp.float32), pl)
+        x8, sx = _rowquant(x, pl)
         q = (
             jnp.dot(x8, wqkv_ref[0, 0], preferred_element_type=jnp.int32)
             .astype(jnp.float32)
@@ -139,7 +134,7 @@ def _attn_block_kernel(
     ctx = jnp.concatenate(ctx_parts, axis=1)  # (L, HB*hd)
 
     if quantized:
-        c8, sc = _rowquant(ctx.astype(jnp.float32), pl)
+        c8, sc = _rowquant(ctx, pl)
         part = (
             jnp.dot(c8, wo_ref[0], preferred_element_type=jnp.int32)
             .astype(jnp.float32)

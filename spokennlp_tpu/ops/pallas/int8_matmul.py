@@ -125,6 +125,18 @@ _ACTIVATIONS = {
 }
 
 
+def rowquant_in_kernel(x, pl_mod):
+    """Row absmax int8 quantization inside a Pallas kernel (shared by the
+    fused attention/MLP block kernels). Returns (int8, f32 (M, 1) scale)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    s = jnp.maximum(absmax, 1e-6) * (1.0 / 127.0)
+    q = jnp.clip(
+        jnp.round(xf * pl_mod.reciprocal(s, approx=False)), -127, 127
+    )
+    return q.astype(jnp.int8), s
+
+
 def _w8a8_bf16in_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref, *, activation="none"):
     """Row-quantize the bf16 activation block in VMEM, then int8 dot.
 
@@ -134,12 +146,7 @@ def _w8a8_bf16in_kernel(x_ref, w_ref, sw_ref, b_ref, o_ref, *, activation="none"
     optional activation runs in the epilogue — an unfused GELU between two
     pallas calls costs a full HBM round-trip of the (M, 4H) tensor
     (profiled: 1.23 ms/layer at BERT-base/B=128)."""
-    xf = x_ref[:].astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    sx = jnp.maximum(absmax, 1e-6) * (1.0 / 127.0)
-    x8 = jnp.clip(jnp.round(xf * pl.reciprocal(sx, approx=False)), -127, 127).astype(
-        jnp.int8
-    )
+    x8, sx = rowquant_in_kernel(x_ref[:], pl)
     acc = jnp.dot(x8, w_ref[:], preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * sx * sw_ref[:] + b_ref[:]
     o_ref[:] = _ACTIVATIONS[activation](out).astype(o_ref.dtype)

@@ -25,20 +25,11 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_ACTIVATIONS = {
-    "none": lambda x: x,
-    "gelu": jax.nn.gelu,
-    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
-    "relu": jax.nn.relu,
-    "silu": jax.nn.silu,
-}
-
-
-def _rowquant(xf, pl):
-    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
-    s = jnp.maximum(absmax, 1e-6) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(xf * pl.reciprocal(s, approx=False)), -127, 127)
-    return q.astype(jnp.int8), s
+from spokennlp_tpu.ops.pallas.int8_matmul import (
+    _ACTIVATIONS,
+    quantize_colwise,
+    rowquant_in_kernel as _rowquant,
+)
 
 
 def _mlp_block_kernel(
@@ -124,12 +115,8 @@ def fused_mlp_block(
     M, H = x.shape
     I = w1.shape[1]
     if quantized:
-        a1 = jnp.maximum(jnp.max(jnp.abs(w1.astype(jnp.float32)), 0, keepdims=True), 1e-6)
-        sw1 = a1 / 127.0
-        w1q = jnp.clip(jnp.round(w1 / sw1), -127, 127).astype(jnp.int8)
-        a2 = jnp.maximum(jnp.max(jnp.abs(w2.astype(jnp.float32)), 0, keepdims=True), 1e-6)
-        sw2 = a2 / 127.0
-        w2q = jnp.clip(jnp.round(w2 / sw2), -127, 127).astype(jnp.int8)
+        w1q, sw1 = quantize_colwise(w1)
+        w2q, sw2 = quantize_colwise(w2)
     else:
         w1q = w1.astype(x.dtype)
         sw1 = jnp.ones((1, I), jnp.float32)

@@ -314,6 +314,9 @@ def run_sld_stages(
 
     os.makedirs(work_dir, exist_ok=True)
     state: Dict = {}
+    # k-means / BPE / eval run on the unperturbed speed when present,
+    # otherwise the first configured speed (speed-only ablations)
+    base_speed = 1.0 if 1.0 in speeds else speeds[0]
 
     def stage_on(i):
         return start_stage <= i <= stop_stage
@@ -386,7 +389,7 @@ def run_sld_stages(
         # k-means on unperturbed train features across all shards (run.sh
         # stage 3 samples ~10% of speed-1.0 features)
         parts = [
-            np.load(os.path.join(feat_dir, f"train_sp1.0_{r}_{nshard}.npy"))
+            np.load(os.path.join(feat_dir, f"train_sp{base_speed}_{r}_{nshard}.npy"))
             for r in range(nshard)
         ]
         allfeat = np.concatenate([p for p in parts if len(p)], 0)
@@ -431,7 +434,7 @@ def run_sld_stages(
         for split in manifests:
             path = os.path.join(work_dir, f"{split}.jsonl")
             with open(path, "w") as f:
-                for speed in speeds if split == "train" else ["1.0"]:
+                for speed in speeds if split == "train" else [base_speed]:
                     for toks, text in zip(tokens[split][str(speed)], labels[split]):
                         if toks and text:
                             f.write(json.dumps(
@@ -444,7 +447,7 @@ def run_sld_stages(
             tokens = json.load(f)
         corpus = [
             " ".join(str(t) for t in row)
-            for row in tokens["train"]["1.0"]
+            for row in tokens["train"][str(base_speed)]
             if row
         ]
         merges = train_bpe(corpus, vocab_size=bpe_vocab_size)
