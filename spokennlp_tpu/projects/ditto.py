@@ -392,3 +392,73 @@ def evaluate_similarity_regression(
         "spearman": spearman(pred, ste),
         "mse": float(np.mean((pred - ste) ** 2)),
     }
+
+
+def load_senteval_classification(task_dir: str, task: str):
+    """SentEval downstream-task files -> the evaluate_transfer_classification
+    input format (reference loaders: ditto/SentEval/senteval/binary.py,
+    sst.py, trec.py, mrpc.py).
+
+    Two-file polarity tasks (MR/CR/SUBJ/MPQA) -> {"all": ...} (k-fold);
+    split tasks (SST2, TREC, MRPC) -> {"train": ..., "test": ...}.
+    """
+    import codecs
+    import os
+
+    def read_lines(path):
+        with codecs.open(path, "r", encoding="latin-1") as f:
+            return [l.strip() for l in f if l.strip()]
+
+    two_file = {
+        "MR": ("rt-polarity.pos", "rt-polarity.neg"),
+        "CR": ("custrev.pos", "custrev.neg"),
+        "SUBJ": ("subj.subjective", "subj.objective"),
+        "MPQA": ("mpqa.pos", "mpqa.neg"),
+    }
+    task = task.upper()
+    if task in two_file:
+        pos_f, neg_f = two_file[task]
+        pos = read_lines(os.path.join(task_dir, pos_f))
+        neg = read_lines(os.path.join(task_dir, neg_f))
+        return {"all": (pos + neg, [1] * len(pos) + [0] * len(neg))}
+    if task == "SST2":
+        def split(name):
+            rows = read_lines(os.path.join(task_dir, name))
+            sents, labels = [], []
+            for r in rows:
+                lab, _, sent = r.partition("\t")
+                if sent:
+                    sents.append(sent)
+                    labels.append(int(lab))
+            return sents, labels
+
+        return {"train": split("sentiment-train"), "test": split("sentiment-test")}
+    if task == "TREC":
+        def split(name):
+            sents, labels = [], []
+            label_ids: Dict[str, int] = {}
+            for r in read_lines(os.path.join(task_dir, name)):
+                tag, _, text = r.partition(" ")
+                coarse = tag.split(":")[0]
+                sents.append(text)
+                labels.append(label_ids.setdefault(coarse, len(label_ids)))
+            return sents, labels
+
+        return {"train": split("train_5500.label"), "test": split("TREC_10.label")}
+    if task == "MRPC":
+        def split(name):
+            sents, labels = [], []
+            rows = read_lines(os.path.join(task_dir, name))
+            for r in rows[1:]:  # header
+                parts = r.split("\t")
+                if len(parts) >= 5:
+                    # pair encoded as concatenation for the linear probe
+                    sents.append(parts[3] + " " + parts[4])
+                    labels.append(int(parts[0]))
+            return sents, labels
+
+        return {
+            "train": split("msr_paraphrase_train.txt"),
+            "test": split("msr_paraphrase_test.txt"),
+        }
+    raise ValueError(f"unknown SentEval task {task}")

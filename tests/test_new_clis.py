@@ -1,0 +1,78 @@
+import json
+import numpy as np
+
+def test_aid_cli(tmp_path):
+    from spokennlp_tpu.cli import run_aid
+    rng = np.random.default_rng(0)
+    words = ["we", "will", "order", "food", "later", "ok"]
+    for name, n in (("train.jsonl", 4), ("dev.jsonl", 2)):
+        with open(tmp_path / name, "w") as f:
+            for i in range(n):
+                sents = [{"text": " ".join(rng.choice(words, size=4)),
+                          "label": int(rng.random() < 0.3)} for _ in range(6)]
+                f.write(json.dumps({"meeting": f"M{i}", "sentences": sents}) + "\n")
+    res = run_aid.main([
+        "--train_file", str(tmp_path / "train.jsonl"),
+        "--eval_file", str(tmp_path / "dev.jsonl"),
+        "--output_dir", str(tmp_path / "out"),
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_attention_heads", "2", "--intermediate_size", "64",
+        "--max_seq_length", "48", "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "4",
+        "--classifier_input", "token_max",
+        "--drop_type", "context-drop-dynamic",
+    ])
+    assert "best_positive_f1" in res
+    assert len(res["history"]) == 1
+
+def test_ami_rows_to_meetings():
+    from spokennlp_tpu.cli.run_aid import ami_rows_to_meetings
+    rows = [
+        {"meeting_name": "B", "sentence": "s1", "action_label": 1},
+        {"meeting_name": "A", "sentence": "s2", "action_label": 0},
+        {"meeting_name": "B", "sentence": "s3", "action_label": 0},
+    ]
+    ms = ami_rows_to_meetings(rows)
+    assert [m["meeting"] for m in ms] == ["A", "B"]
+    assert ms[1]["sentences"][0] == {"text": "s1", "label": 1}
+
+def test_senteval_loaders(tmp_path):
+    from spokennlp_tpu.projects.ditto import load_senteval_classification
+    (tmp_path / "rt-polarity.pos").write_text("good movie\ngreat fun\n")
+    (tmp_path / "rt-polarity.neg").write_text("bad movie\n")
+    d = load_senteval_classification(str(tmp_path), "MR")
+    sents, labels = d["all"]
+    assert labels == [1, 1, 0] and sents[2] == "bad movie"
+    (tmp_path / "train_5500.label").write_text("DESC:def what is x\nNUM:count how many y\n")
+    (tmp_path / "TREC_10.label").write_text("DESC:def what is z\n")
+    t = load_senteval_classification(str(tmp_path), "TREC")
+    assert t["train"][1] == [0, 1] and t["test"][0] == ["what is z"]
+
+def test_ditto_cli(tmp_path):
+    """run_ditto over a tiny NATIVE checkpoint + synthetic STS tsv."""
+    import jax, jax.numpy as jnp
+    from spokennlp_tpu.cli import run_ditto
+    from spokennlp_tpu.configs import EncoderConfig
+    from spokennlp_tpu.models.encoder import Encoder
+    from spokennlp_tpu.models import checkpoint_io
+
+    enc = EncoderConfig(vocab_size=30522, hidden_size=32, num_layers=2,
+                        num_heads=2, intermediate_size=64,
+                        max_position_embeddings=64, add_pooler=False)
+    encoder = Encoder(enc)
+    params = encoder.init(jax.random.PRNGKey(0), jnp.ones((1, 16), jnp.int32))["params"]
+    ckpt = tmp_path / "ckpt"
+    checkpoint_io.save_checkpoint(str(ckpt), params, enc)
+
+    with open(tmp_path / "sts.tsv", "w") as f:
+        f.write("the cat sat\tthe cat sat\t5.0\n")
+        f.write("the cat sat\tquantum flux results\t1.0\n")
+        f.write("dogs run fast\tdogs run quickly\t4.0\n")
+    res = run_ditto.main([
+        "--model_name_or_path", str(ckpt),
+        "--output_dir", str(tmp_path / "out"),
+        "--pooler", "avg_first_last", "--layer", "0", "--head", "1",
+        "--max_seq_length", "16", "--batch_size", "2",
+        "--sts_tsv", str(tmp_path / "sts.tsv"),
+    ])
+    assert "sts" in res and "all_spearman" in res["sts"]
