@@ -74,19 +74,22 @@ def _attn_block_kernel(
     if quantized:
         x8, sx = _rowquant(x, pl)
         q = (
-            jnp.dot(x8, wqkv_ref[0, 0], preferred_element_type=jnp.int32)
-            .astype(jnp.float32)
-            * sx
-            * swqkv_ref[0, 0]
-            + bqkv_ref[0, 0]
-        ) * sm_scale
+            (
+                jnp.dot(x8, wqkv_ref[0, 0], preferred_element_type=jnp.int32)
+                .astype(jnp.float32)
+                * sx
+                * swqkv_ref[0, 0]
+                + bqkv_ref[0, 0]
+            )
+            * sm_scale
+        ).astype(x.dtype)
         k = (
             jnp.dot(x8, wqkv_ref[1, 0], preferred_element_type=jnp.int32)
             .astype(jnp.float32)
             * sx
             * swqkv_ref[1, 0]
             + bqkv_ref[1, 0]
-        )
+        ).astype(x.dtype)
         v = (
             jnp.dot(x8, wqkv_ref[2, 0], preferred_element_type=jnp.int32)
             .astype(jnp.float32)
@@ -96,13 +99,16 @@ def _attn_block_kernel(
         ).astype(x.dtype)
     else:
         q = (
-            jnp.dot(x, wqkv_ref[0, 0], preferred_element_type=jnp.float32)
-            + bqkv_ref[0, 0]
-        ) * sm_scale
+            (
+                jnp.dot(x, wqkv_ref[0, 0], preferred_element_type=jnp.float32)
+                + bqkv_ref[0, 0]
+            )
+            * sm_scale
+        ).astype(x.dtype)
         k = (
             jnp.dot(x, wqkv_ref[1, 0], preferred_element_type=jnp.float32)
             + bqkv_ref[1, 0]
-        )
+        ).astype(x.dtype)
         v = (
             jnp.dot(x, wqkv_ref[2, 0], preferred_element_type=jnp.float32)
             + bqkv_ref[2, 0]
@@ -111,8 +117,8 @@ def _attn_block_kernel(
     hd = head_dim
     ctx_parts = []
     for h in range(heads_per_block):
-        qh = q[:, h * hd : (h + 1) * hd].astype(x.dtype)
-        kh = k[:, h * hd : (h + 1) * hd].astype(x.dtype)
+        qh = q[:, h * hd : (h + 1) * hd]
+        kh = k[:, h * hd : (h + 1) * hd]
         scores = (
             jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -169,6 +175,122 @@ def _attn_block_kernel(
             o_ref[0] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _attn_block_kernel_multi(
+    seg_ref,
+    h_ref,
+    wqkv_ref,
+    swqkv_ref,
+    bqkv_ref,
+    wo_ref,
+    swo_ref,
+    bo_ref,
+    lns_ref,
+    lnb_ref,
+    o_ref,
+    *,
+    seqs: int,
+    num_heads: int,
+    head_dim: int,
+    seq_len: int,
+    sm_scale: float,
+    quantized: bool,
+    fuse_ln: bool,
+    eps: float,
+):
+    """Single-group (G=1) variant processing ``seqs`` sequences per grid
+    step: the projection matmuls run on (seqs*L, ...) for better MXU
+    utilization and fewer grid steps; attention stays per-sequence."""
+    from jax.experimental import pallas as pl
+
+    L, hd, nh = seq_len, head_dim, num_heads
+    x = h_ref[:].reshape(seqs * L, nh * hd)  # (S*L, H)
+
+    # q/k/v live in the COMPUTE dtype ((S*L, H) each; f32 would blow the
+    # 16 MB VMEM budget at seqs=2) — the per-head consumers cast anyway
+    if quantized:
+        x8, sx = _rowquant(x.astype(jnp.float32), pl)
+
+        def deq(s):
+            return (
+                jnp.dot(x8, wqkv_ref[s, 0], preferred_element_type=jnp.int32)
+                .astype(jnp.float32)
+                * sx
+                * swqkv_ref[s, 0]
+                + bqkv_ref[s, 0]
+            )
+
+        q = (deq(0) * sm_scale).astype(x.dtype)
+        k = deq(1).astype(x.dtype)
+        v = deq(2).astype(x.dtype)
+    else:
+        q = (
+            (
+                jnp.dot(x, wqkv_ref[0, 0], preferred_element_type=jnp.float32)
+                + bqkv_ref[0, 0]
+            )
+            * sm_scale
+        ).astype(x.dtype)
+        k = (
+            jnp.dot(x, wqkv_ref[1, 0], preferred_element_type=jnp.float32)
+            + bqkv_ref[1, 0]
+        ).astype(x.dtype)
+        v = (
+            jnp.dot(x, wqkv_ref[2, 0], preferred_element_type=jnp.float32)
+            + bqkv_ref[2, 0]
+        ).astype(x.dtype)
+
+    ctx_rows = []
+    for si in range(seqs):
+        seg = seg_ref[si, 0]
+        allowed = (seg[:, None] == seg[None, :]) & (seg[None, :] > 0)
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+        row = slice(si * L, (si + 1) * L)
+        parts = []
+        for h in range(nh):
+            col = slice(h * hd, (h + 1) * hd)
+            qh = q[row, col].astype(x.dtype)
+            kh = k[row, col].astype(x.dtype)
+            scores = (
+                jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias
+            )
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp((scores - m).astype(x.dtype))
+            denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            ctxh = jax.lax.dot_general(
+                p.astype(x.dtype), v[row, col],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            parts.append((ctxh / denom).astype(x.dtype))
+        ctx_rows.append(jnp.concatenate(parts, axis=1))
+    ctx = jnp.concatenate(ctx_rows, axis=0)  # (S*L, H)
+
+    if quantized:
+        c8, sc = _rowquant(ctx.astype(jnp.float32), pl)
+        part = (
+            jnp.dot(c8, wo_ref[0], preferred_element_type=jnp.int32)
+            .astype(jnp.float32)
+            * sc
+            * swo_ref[0]
+        )
+    else:
+        part = jnp.dot(ctx, wo_ref[0], preferred_element_type=jnp.float32)
+    part = part + bo_ref[:]
+
+    if fuse_ln:
+        r = part + x.astype(jnp.float32)
+        mean = jnp.mean(r, axis=1, keepdims=True)
+        c = r - mean
+        var = jnp.mean(c * c, axis=1, keepdims=True)
+        out = c * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]
+    else:
+        out = part
+    o_ref[:] = out.reshape(seqs, L, nh * hd).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -177,6 +299,7 @@ def _attn_block_kernel(
         "interpret",
         "quantized",
         "eps",
+        "seqs_per_block",
     ),
 )
 def fused_attention_block(
@@ -193,6 +316,7 @@ def fused_attention_block(
     ln_scale: Optional[Array] = None,  # (H,) — fuse h1 = LN(x + attn) epilogue
     ln_bias: Optional[Array] = None,
     eps: float = 1e-12,
+    seqs_per_block: int = 1,  # >1: single-group multi-sequence kernel
 ) -> Array:
     """Full attention block (QKV proj -> MHA -> out proj); returns (B, L, H).
 
@@ -241,6 +365,57 @@ def fused_attention_block(
     lns = (ln_scale if fuse_ln else jnp.ones((H,))).astype(jnp.float32).reshape(1, H)
     lnb = (ln_bias if fuse_ln else jnp.zeros((H,))).astype(jnp.float32).reshape(1, H)
 
+    flops = B * (2 * 3 * L * H * nh * hd + nh * 4 * L * L * hd + 2 * L * nh * hd * H)
+
+    S = seqs_per_block
+    if S > 1 and G == 1 and B % S == 0:
+        kernel = functools.partial(
+            _attn_block_kernel_multi,
+            seqs=S,
+            num_heads=nh,
+            head_dim=hd,
+            seq_len=L,
+            sm_scale=float(sm_scale),
+            quantized=quantized,
+            fuse_ln=fuse_ln,
+            eps=float(eps),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B // S,),
+            in_specs=[
+                pl.BlockSpec((S, 1, L), lambda b: (b, 0, 0)),
+                pl.BlockSpec((S, L, H), lambda b: (b, 0, 0)),
+                pl.BlockSpec((3, 1, H, HB * hd), lambda b: (0, 0, 0, 0)),
+                pl.BlockSpec((3, 1, 1, HB * hd), lambda b: (0, 0, 0, 0)),
+                pl.BlockSpec((3, 1, 1, HB * hd), lambda b: (0, 0, 0, 0)),
+                pl.BlockSpec((1, HB * hd, H), lambda b: (0, 0, 0)),
+                pl.BlockSpec((1, 1, H), lambda b: (0, 0, 0)),
+                pl.BlockSpec((1, H), lambda b: (0, 0)),
+                pl.BlockSpec((1, H), lambda b: (0, 0)),
+                pl.BlockSpec((1, H), lambda b: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((S, L, H), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, L, H), dt),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=B * L * H * 4,
+                transcendentals=B * nh * L * L,
+            ),
+            interpret=interpret,
+        )(
+            segment_ids.astype(jnp.int32)[:, None, :],
+            hidden,
+            wqkv,
+            swqkv,
+            bqkv,
+            wo,
+            swo,
+            bo,
+            lns,
+            lnb,
+        )
+
     kernel = functools.partial(
         _attn_block_kernel,
         heads_per_block=HB,
@@ -250,7 +425,6 @@ def fused_attention_block(
         fuse_ln=fuse_ln,
         eps=float(eps),
     )
-    flops = B * (2 * 3 * L * H * nh * hd + nh * 4 * L * L * hd + 2 * L * nh * hd * H)
     return pl.pallas_call(
         kernel,
         grid=(B, G),
