@@ -16,9 +16,15 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True,
-                   choices=["wiki_section", "wiki727k", "wiki50", "wiki_elements"])
+                   choices=["wiki_section", "wiki727k", "wiki50",
+                            "wiki_elements", "ami"])
     p.add_argument("--data_folder", required=True)
     p.add_argument("--out_folder", required=True)
+    p.add_argument("--ami_similarity_file", default=None,
+                   help="similarity json for AMI global context")
+    p.add_argument("--ami_num_context", type=int, default=2)
+    p.add_argument("--ami_meetings_jsonl", action="store_true",
+                   help="also write meetings jsonl for cli/run_aid")
     args = p.parse_args(argv)
     os.makedirs(args.out_folder, exist_ok=True)
 
@@ -58,6 +64,29 @@ def main(argv=None):
             os.path.join(args.data_folder, "wikielements.segmenttitles"),
             os.path.join(args.out_folder, "test.jsonl"),
         )
+    elif args.dataset == "ami":
+        # AMI NXT XML annotations -> AID train/dev/test TSVs (data/ami.py;
+        # reference: action-item-detection/data_script/ami_process.py)
+        from spokennlp_tpu.data import ami
+
+        splits = ami.process_ami_corpus(
+            args.data_folder,
+            args.out_folder,
+            num_left=args.ami_num_context,
+            num_right=args.ami_num_context,
+            similarity_file=args.ami_similarity_file,
+        )
+        if args.ami_meetings_jsonl:
+            from spokennlp_tpu.cli.run_aid import ami_rows_to_meetings
+
+            name_map = {"dev": "dev", "train": "train", "test": "test"}
+            for split, rows in splits.items():
+                path = os.path.join(
+                    args.out_folder, f"{name_map[split]}_meetings.jsonl"
+                )
+                with open(path, "w") as f:
+                    for m in ami_rows_to_meetings(rows):
+                        f.write(json.dumps(m) + "\n")
     print("done")
 
 

@@ -126,3 +126,38 @@ def test_trainer_eval_cadence_counts_optimizer_steps(tmp_path):
     # every periodic eval lands on a multiple of eval_steps (in optimizer steps)
     for e in evals:
         assert e["step"] % trainer.eval_steps == 0, (e, trainer.eval_steps)
+
+
+def test_gradient_accumulation_matches_mean_grad():
+    """optax.MultiSteps with accumulation=2: micro-step updates are zero
+    until the boundary, and the applied update equals the accum=1 update on
+    the MEAN of the micro gradients (round-1 VERDICT: accumulation > 1 was
+    untested)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spokennlp_tpu.configs import TrainConfig
+    from spokennlp_tpu.train import optim
+
+    params = {"w": jnp.asarray([1.0, -2.0, 3.0]), "b": jnp.asarray([0.5])}
+    g1 = {"w": jnp.asarray([0.1, 0.2, -0.3]), "b": jnp.asarray([1.0])}
+    g2 = {"w": jnp.asarray([-0.3, 0.4, 0.1]), "b": jnp.asarray([0.0])}
+    gmean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    cfg2 = TrainConfig(gradient_accumulation_steps=2, warmup_ratio=0.0,
+                       weight_decay=0.0, max_grad_norm=0.0)
+    tx2 = optim.make_optimizer(cfg2, total_steps=100)
+    st = tx2.init(params)
+    u1, st = tx2.update(g1, st, params)
+    assert all(float(jnp.abs(x).max()) == 0.0
+               for x in jax.tree.leaves(u1)), "update before the boundary"
+    u2, st = tx2.update(g2, st, params)
+
+    cfg1 = TrainConfig(gradient_accumulation_steps=1, warmup_ratio=0.0,
+                       weight_decay=0.0, max_grad_norm=0.0)
+    tx1 = optim.make_optimizer(cfg1, total_steps=100)
+    st1 = tx1.init(params)
+    uref, _ = tx1.update(gmean, st1, params)
+
+    for a, b in zip(jax.tree.leaves(u2), jax.tree.leaves(uref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

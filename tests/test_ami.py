@@ -170,3 +170,18 @@ def test_split_table():
     assert ami.which_split("ES2003d") == "dev"
     assert ami.which_split("TS3007b") == "test"
     assert ami.which_split("XX9999") == "none"
+
+
+def test_run_process_data_ami(tmp_path):
+    from spokennlp_tpu.cli import run_process_data
+
+    d = _make_corpus(tmp_path)
+    out = str(tmp_path / "ds")
+    run_process_data.main([
+        "--dataset", "ami", "--data_folder", d, "--out_folder", out,
+        "--ami_meetings_jsonl",
+    ])
+    assert os.path.exists(os.path.join(out, "train.txt"))
+    import json
+    rows = [json.loads(l) for l in open(os.path.join(out, "train_meetings.jsonl"))]
+    assert rows and rows[0]["sentences"][0]["text"]
