@@ -229,6 +229,27 @@ def maybe_load_pretrained(args, enc_cfg):
         if hf_cfg.model_type == "longformer":
             cfg = hf_convert.hf_longformer_config_to_encoder_config(hf_cfg)
             return cfg, hf_convert.longformer_to_encoder_params(sd, cfg)
+        if hf_cfg.model_type == "electra":
+            cfg = hf_convert.hf_electra_config_to_encoder_config(hf_cfg)
+            return cfg, hf_convert.electra_to_encoder_params(sd, cfg)
+        if hf_cfg.model_type == "big_bird":
+            # HF BigBird keeps the BERT param layout; block-sparse structure
+            # is an attention_type on our trunk (ops/bigbird_attention.py)
+            import dataclasses as _dc
+
+            cfg = hf_convert.hf_bert_config_to_encoder_config(hf_cfg)
+            cfg = _dc.replace(
+                cfg,
+                attention_type="bigbird",
+                bigbird_block_size=getattr(hf_cfg, "block_size", 64),
+                bigbird_num_random_blocks=getattr(hf_cfg, "num_random_blocks", 3),
+            )
+            params = hf_convert.bert_to_encoder_params(sd, cfg)
+            if cfg.add_pooler and "pooler" not in params:
+                # HF BigBird's pooler is a bare nn.Linear (different naming);
+                # the topic-seg head doesn't use it
+                cfg = _dc.replace(cfg, add_pooler=False)
+            return cfg, params
         cfg = hf_convert.hf_bert_config_to_encoder_config(hf_cfg)
         return cfg, hf_convert.bert_to_encoder_params(sd, cfg)
     except Exception as e:  # pragma: no cover

@@ -76,3 +76,39 @@ def test_ditto_cli(tmp_path):
         "--sts_tsv", str(tmp_path / "sts.tsv"),
     ])
     assert "sts" in res and "all_spearman" in res["sts"]
+
+
+def test_maybe_load_pretrained_electra_and_bigbird(tmp_path):
+    """CLI checkpoint resolution dispatches ELECTRA (factorized embeddings)
+    and BigBird (BERT layout + block-sparse attention_type) converters."""
+    import argparse
+    import torch
+    from transformers import (BigBirdConfig, BigBirdModel, ElectraConfig,
+                              ElectraModel)
+    import jax, jax.numpy as jnp
+    from spokennlp_tpu.cli import common
+    from spokennlp_tpu.models.encoder import Encoder
+
+    e_cfg = ElectraConfig(vocab_size=120, embedding_size=16, hidden_size=32,
+                          num_hidden_layers=1, num_attention_heads=2,
+                          intermediate_size=64, max_position_embeddings=64)
+    e_dir = tmp_path / "electra"
+    ElectraModel(e_cfg).save_pretrained(e_dir)
+    ns = argparse.Namespace(model_name_or_path=str(e_dir), vocab_file=None)
+    cfg, params = common.maybe_load_pretrained(ns, None)
+    assert cfg.embedding_size == 16 and cfg.hidden_size == 32
+    out = Encoder(cfg).apply({"params": params}, jnp.ones((1, 8), jnp.int32))
+    assert out.last_hidden_state.shape == (1, 8, 32)
+
+    b_cfg = BigBirdConfig(vocab_size=130, hidden_size=32, num_hidden_layers=1,
+                          num_attention_heads=2, intermediate_size=64,
+                          max_position_embeddings=256, block_size=16,
+                          num_random_blocks=2, attention_type="block_sparse")
+    b_dir = tmp_path / "bigbird"
+    BigBirdModel(b_cfg).save_pretrained(b_dir)
+    ns = argparse.Namespace(model_name_or_path=str(b_dir), vocab_file=None)
+    cfg, params = common.maybe_load_pretrained(ns, None)
+    assert cfg.attention_type == "bigbird" and cfg.bigbird_block_size == 16
+    out = Encoder(cfg).apply({"params": params},
+                             jnp.ones((1, 128), jnp.int32))
+    assert out.last_hidden_state.shape == (1, 128, 32)
