@@ -112,3 +112,86 @@ def test_maybe_load_pretrained_electra_and_bigbird(tmp_path):
     out = Encoder(cfg).apply({"params": params},
                              jnp.ones((1, 128), jnp.int32))
     assert out.last_hidden_state.shape == (1, 128, 32)
+
+
+def _write_mug_corpus(tmp_path, n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    words = ["预算", "方案", "讨论", "设计", "评审"]
+    rows = []
+    for i in range(n):
+        ns = 8
+        sents = [{"id": j + 1, "s": "".join(rng.choice(words, size=3))}
+                 for j in range(ns)]
+        rows.append({
+            "meeting_key": f"M{i}",
+            "sentences": sents,
+            "paragraph_segment_ids": [{"id": j} for j in (2, 4, 6, 8)],
+            "topic_segment_ids": [
+                {"id": 4, "candidate": [
+                    {"title": "t1", "key_sentence": [1, 2],
+                     "key_word": ["预算", "方案"]}]},
+                {"id": 8, "candidate": [
+                    {"title": "t2", "key_sentence": [5],
+                     "key_word": ["设计"]}]},
+            ],
+            "candidate": [{"key_word": ["预算", "设计"]}],
+            "action_ids": [{"id": 3}],
+        })
+    for name in ("train.jsonl", "dev.jsonl"):
+        with open(tmp_path / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    return rows
+
+
+def test_run_mug_track1(tmp_path):
+    from spokennlp_tpu.cli import run_mug
+
+    _write_mug_corpus(tmp_path)
+    res = run_mug.main([
+        "--track", "topic_segmentation",
+        "--train_file", str(tmp_path / "train.jsonl"),
+        "--eval_file", str(tmp_path / "dev.jsonl"),
+        "--output_dir", str(tmp_path / "t1"),
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_attention_heads", "2", "--intermediate_size", "64",
+        "--max_seq_length", "96", "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "2",
+    ])
+    assert "positive_f1" in res["metrics"] or res["metrics"]
+    import os
+    assert os.path.exists(tmp_path / "t1" / "submission.jsonl")
+
+
+def test_run_mug_track2(tmp_path):
+    from spokennlp_tpu.cli import run_mug
+
+    _write_mug_corpus(tmp_path)
+    res = run_mug.main([
+        "--track", "extractive_summarization",
+        "--train_file", str(tmp_path / "train.jsonl"),
+        "--eval_file", str(tmp_path / "dev.jsonl"),
+        "--output_dir", str(tmp_path / "t2"),
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_attention_heads", "2", "--intermediate_size", "64",
+        "--max_seq_length", "96", "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "2", "--es_top_ratio", "0.3",
+    ])
+    assert any("rouge" in k for k in res["metrics"])
+
+
+def test_run_mug_track4(tmp_path):
+    from spokennlp_tpu.cli import run_mug
+
+    _write_mug_corpus(tmp_path)
+    res = run_mug.main([
+        "--track", "keyphrase",
+        "--train_file", str(tmp_path / "train.jsonl"),
+        "--eval_file", str(tmp_path / "dev.jsonl"),
+        "--output_dir", str(tmp_path / "t4"),
+        "--hidden_size", "32", "--num_hidden_layers", "1",
+        "--num_attention_heads", "2", "--intermediate_size", "64",
+        "--max_seq_length", "32", "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "2", "--kpe_top_k", "10",
+    ])
+    assert res["metrics"]
