@@ -109,6 +109,7 @@ def resolve_tokenizer(args) -> Tuple[Callable[[str], List[int]], dict]:
                 "cls": tok.cls_token_id or tok.bos_token_id,
                 "pad": tok.pad_token_id or 0,
                 "bos": tok.bos_token_id,
+                "sep": tok.sep_token_id if tok.sep_token_id is not None else 102,
                 "vocab_size": len(tok),
             }
             return (lambda s: tok(s, add_special_tokens=False)["input_ids"]), special
@@ -124,12 +125,13 @@ def resolve_tokenizer(args) -> Tuple[Callable[[str], List[int]], dict]:
             "cls": vocab.get("[CLS]", 101),
             "pad": vocab.get("[PAD]", 0),
             "bos": bos,
+            "sep": vocab.get("[SEP]", min(102, len(vocab) - 1)),
             "vocab_size": len(vocab),
         }
         return tok.encode, special
     # fallback hash tokenizer (smoke tests without vocab assets)
     V = 30522
-    special = {"cls": 101, "pad": 0, "bos": 1, "vocab_size": V}
+    special = {"cls": 101, "pad": 0, "bos": 1, "sep": 102, "vocab_size": V}
 
     def hash_tokenize(s: str) -> List[int]:
         return [1000 + (hash(w) % (V - 1100)) for w in s.split()] or [1000]

@@ -97,6 +97,8 @@ def main(argv=None):
     train_meetings = load_meetings(args.train_file)
     eval_meetings = load_meetings(args.eval_file)
 
+    import dataclasses as dc
+
     enc_cfg = EncoderConfig(
         vocab_size=special["vocab_size"],
         hidden_size=args.hidden_size,
@@ -108,6 +110,17 @@ def main(argv=None):
         add_pooler=args.classifier_input == "cls",
     )
     pretrained = common.maybe_load_pretrained(ns, enc_cfg)
+    trunk = None
+    if pretrained is not None:
+        # adopt the checkpoint's architecture (run_finetune pattern) and
+        # resize embeddings for tokenizer growth ([BOS] etc.)
+        loaded_cfg, trunk = pretrained
+        trunk, loaded_cfg = common.resize_word_embeddings(
+            trunk, loaded_cfg, special["vocab_size"], seed=args.seed
+        )
+        enc_cfg = dc.replace(
+            loaded_cfg, add_pooler=args.classifier_input == "cls"
+        )
     model = AidModel(enc_cfg, cfg)
     L = args.max_seq_length
     params = model.init(
@@ -118,13 +131,19 @@ def main(argv=None):
         jnp.zeros((2,), jnp.int32),
         deterministic=True,
     )["params"]
-    if pretrained is not None:
-        trunk_cfg, trunk = pretrained
-        if "encoder" not in trunk:
-            params = dict(params)
-            params["encoder"] = trunk
-        else:
-            params = trunk
+    if trunk is not None:
+        # deep-merge the checkpoint into the initialized encoder subtree so
+        # params the checkpoint lacks (e.g. pooler) keep their fresh init
+        def _merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    _merge(dst[k], v)
+                else:
+                    dst[k] = v
+
+        enc_sub = trunk["encoder"] if "encoder" in trunk else trunk
+        params = jax.tree_util.tree_map(lambda x: x, params)  # own the tree
+        _merge(params["encoder"], enc_sub)
 
     tx = optax.adamw(args.learning_rate, weight_decay=0.01)
     state = create_train_state(params, tx)
@@ -134,8 +153,6 @@ def main(argv=None):
     cls_id, sep_id = special["cls"], special.get("sep", 102)
 
     # eval examples: no doubling/noise (the reference predicts single rows)
-    import dataclasses as dc
-
     eval_cfg = dc.replace(cfg, drop_type="none", noisy_type="remain")
     eval_examples = []
     for m in eval_meetings:
@@ -177,10 +194,16 @@ def main(argv=None):
                                       args.context_width,
                                       args.use_global_context)
             )
-        # keep consistency pairs adjacent inside a batch: shuffle PAIRS
-        pair_starts = list(range(0, len(examples) - 1, 2))
-        data_rng.shuffle(pair_starts)
-        order = [i for s in pair_starts for i in (s, s + 1)]
+        if cfg.drop_type == "none":
+            # no consistency pairing: plain example shuffle
+            order = data_rng.permutation(len(examples)).tolist()
+        else:
+            # keep consistency pairs adjacent inside a batch: shuffle PAIRS
+            # (paired builders always emit examples two at a time)
+            assert len(examples) % 2 == 0, len(examples)
+            pair_starts = list(range(0, len(examples), 2))
+            data_rng.shuffle(pair_starts)
+            order = [i for s in pair_starts for i in (s, s + 1)]
         losses = []
         for s in range(0, len(order), bs):
             take = order[s : s + bs]

@@ -26,7 +26,7 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_seq_length", type=int, default=128)
     p.add_argument("--sts_tsv", nargs="*", default=[],
-                   help="STS tsv files: score\\tsent1\\tsent2")
+                   help="STS tsv files: sent1\\tsent2\\tscore")
     p.add_argument("--senteval_sts_dir", default=None,
                    help="SentEval STS12-16 style task dir")
     p.add_argument("--senteval_sts_subsets", nargs="*", default=[])
@@ -60,16 +60,22 @@ def main(argv=None):
     enc_cfg, params = pretrained
     import dataclasses
 
-    enc_cfg = dataclasses.replace(enc_cfg, add_pooler=enc_cfg.add_pooler
-                                  or args.pooler == "cls")
-    encoder = Encoder(enc_cfg)
     if "encoder" in params:
         params = params["encoder"]
+    if args.pooler == "cls" and "pooler" not in params:
+        raise ValueError(
+            "--pooler cls needs a checkpoint WITH pooler weights; this one "
+            "has none (use cls_before_pooler or another pooler)"
+        )
+    enc_cfg = dataclasses.replace(enc_cfg, add_pooler="pooler" in params)
+    encoder = Encoder(enc_cfg)
 
-    layer, head = args.layer, args.head
-    if layer is None or head is None:
-        layer, head = D.recipe_for(args.model_name_or_path)
-        print(f"recipe (layer, head) = ({layer}, {head})")
+    rec_layer, rec_head = D.recipe_for(args.model_name_or_path)
+    layer = args.layer if args.layer is not None else rec_layer
+    head = args.head if args.head is not None else rec_head
+    if args.layer is None or args.head is None:
+        print(f"(layer, head) = ({layer}, {head})"
+              f"{' [recipe]' if (args.layer is None and args.head is None) else ''}")
 
     embed_fn = D.make_embed_fn(encoder, params, args.pooler, layer, head)
 

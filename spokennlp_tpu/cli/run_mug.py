@@ -164,15 +164,30 @@ def main(argv=None):
                 model, state.params, examples, eval_windows, batch_size=bs,
                 top_ratio=args.es_top_ratio)
             results["metrics"] = evaluate_es_rouge(examples, preds)
-            # submission: per-meeting doc-level key sentences (global ids)
-            by_meeting = {}
+            # submission in the official format: per-topic key sentences
+            # (topic id = segment-end sentence id, matching the label file)
+            # plus the doc-level union — scoreable by run_mug_evaluate
+            keys = [m.get("meeting_key", "") for m in eval_meetings]
+            by_meeting = {k: {"topics": [], "doc": []} for k in keys}
             for ex, ids in zip(examples, preds):
-                off = ex.get("topic_span", (0, 0))[0]
-                by_meeting.setdefault(ex["meeting_key"], []).extend(
-                    int(i + off) for i in ids)
+                off0, off1 = ex.get("topic_span", (0, len(ex["sentences"])))
+                glob = sorted(int(i + off0) for i in ids)
+                d = by_meeting[ex["meeting_key"]]
+                d["topics"].append({"id": int(off1), "key_sentence": glob})
+                d["doc"].extend(glob)
             sub = mug_data.extractive_summarization_submission(
-                list(by_meeting), [[] for _ in by_meeting],
-                list(by_meeting.values()))
+                keys,
+                [by_meeting[k]["topics"] for k in keys],
+                [sorted(set(by_meeting[k]["doc"])) for k in keys])
+            if args.es_level == "topic" and args.annotator_strategy != "pool":
+                try:
+                    results["official"] = (
+                        mug_eval.extractive_summarization_evaluate(
+                            eval_meetings, sub))
+                except (KeyError, AssertionError) as e:
+                    # label file lacks doc-level key_sentence candidates (or
+                    # topic counts mismatch) — rouge metrics above still hold
+                    results["official_error"] = f"{type(e).__name__}: {e}"
     else:  # keyphrase (Track 4): BERT-CRF over char tokens
         from spokennlp_tpu.projects.mug.keyphrase import (
             BertCrfTagger,
@@ -192,8 +207,8 @@ def main(argv=None):
                 for sent in parsed["sentences"]:
                     chars = list(sent)[: L]
                     # char-aligned ids (one id per char) keep BIO tags aligned
-                    ids = [tokenize_fn(c)[0] if tokenize_fn(c) else special["pad"]
-                           for c in chars]
+                    char_toks = [tokenize_fn(c) for c in chars]
+                    ids = [t[0] if t else special["pad"] for t in char_toks]
                     tags = bio_tags_from_keyphrases(chars, kps) if with_tags else [0] * len(chars)
                     n = len(ids)
                     row = {
@@ -219,6 +234,8 @@ def main(argv=None):
 
         @jax.jit
         def kpe_step(state, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+
             def loss_fn(p):
                 out = model.apply(
                     {"params": p}, batch["input_ids"], batch["attention_mask"],

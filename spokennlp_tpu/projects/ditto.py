@@ -434,9 +434,11 @@ def load_senteval_classification(task_dir: str, task: str):
 
         return {"train": split("sentiment-train"), "test": split("sentiment-test")}
     if task == "TREC":
+        label_ids: Dict[str, int] = {}  # SHARED across splits: train/test
+        # label ids must agree or the probe scores against a permutation
+
         def split(name):
             sents, labels = [], []
-            label_ids: Dict[str, int] = {}
             for r in read_lines(os.path.join(task_dir, name)):
                 tag, _, text = r.partition(" ")
                 coarse = tag.split(":")[0]

@@ -134,7 +134,8 @@ def _write_mug_corpus(tmp_path, n=3, seed=0):
                     {"title": "t2", "key_sentence": [5],
                      "key_word": ["设计"]}]},
             ],
-            "candidate": [{"key_word": ["预算", "设计"]}],
+            "candidate": [{"key_word": ["预算", "设计"],
+                           "key_sentence": [1, 5]}],
             "action_ids": [{"id": 3}],
         })
     for name in ("train.jsonl", "dev.jsonl"):
