@@ -35,7 +35,9 @@ def main(argv=None):
     p.add_argument("--transfer_tasks", nargs="*", default=[],
                    help="subset of MR CR SUBJ MPQA SST2 TREC MRPC")
     p.add_argument("--relatedness_dir", default=None,
-                   help="dir with train.tsv/test.tsv score\\ts1\\ts2 rows")
+                   help="STS-B/SICK relatedness task dir")
+    p.add_argument("--relatedness_format", default="tsv",
+                   choices=["tsv", "sick", "stsb"])
     args = p.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -122,21 +124,11 @@ def main(argv=None):
 
     # ---------------- STS-B/SICK relatedness regression
     if args.relatedness_dir:
-        def read_split(name):
-            a, b, s = [], [], []
-            with open(os.path.join(args.relatedness_dir, name)) as f:
-                for line in f:
-                    parts = line.rstrip("\n").split("\t")
-                    if len(parts) >= 3:
-                        s.append(float(parts[0]))
-                        a.append(parts[1])
-                        b.append(parts[2])
-            return a, b, s
-
+        data = D.load_relatedness_files(
+            args.relatedness_dir, args.relatedness_format
+        )
         results["relatedness"] = D.evaluate_similarity_regression(
-            embed_fn, batch_tokenize,
-            {"train": read_split("train.tsv"), "test": read_split("test.tsv")},
-            batch_size=args.batch_size,
+            embed_fn, batch_tokenize, data, batch_size=args.batch_size,
         )
 
     with open(os.path.join(args.output_dir, "ditto_results.json"), "w") as f:

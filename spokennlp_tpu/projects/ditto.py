@@ -464,3 +464,56 @@ def load_senteval_classification(task_dir: str, task: str):
             "test": split("msr_paraphrase_test.txt"),
         }
     raise ValueError(f"unknown SentEval task {task}")
+
+
+def load_relatedness_files(task_dir: str, fmt: str = "tsv"):
+    """STS-B / SICK relatedness splits -> {"train"/"test": (s1, s2, scores)}.
+
+    Formats (reference data layouts consumed by SentEval's sts.py/sick.py):
+      - "sick":  SICK_train.txt / SICK_test_annotated.txt, tab columns
+                 pair_ID, sentence_A, sentence_B, relatedness_score, ...
+      - "stsb":  sts-train.csv / sts-test.csv, tab columns
+                 genre, file, year, id, score, sentence1, sentence2
+      - "tsv":   train.tsv / test.tsv with score\\tsent1\\tsent2
+    """
+    import os
+
+    def rows(path):
+        with open(path, encoding="utf-8") as f:
+            return [l.rstrip("\n").split("\t") for l in f if l.strip()]
+
+    if fmt == "sick":
+        def split(name):
+            a, b, s = [], [], []
+            for r in rows(os.path.join(task_dir, name))[1:]:  # header
+                if len(r) >= 4:
+                    a.append(r[1])
+                    b.append(r[2])
+                    s.append(float(r[3]))
+            return a, b, s
+
+        return {"train": split("SICK_train.txt"),
+                "test": split("SICK_test_annotated.txt")}
+    if fmt == "stsb":
+        def split(name):
+            a, b, s = [], [], []
+            for r in rows(os.path.join(task_dir, name)):
+                if len(r) >= 7:
+                    s.append(float(r[4]))
+                    a.append(r[5])
+                    b.append(r[6])
+            return a, b, s
+
+        return {"train": split("sts-train.csv"), "test": split("sts-test.csv")}
+    if fmt == "tsv":
+        def split(name):
+            a, b, s = [], [], []
+            for r in rows(os.path.join(task_dir, name)):
+                if len(r) >= 3:
+                    s.append(float(r[0]))
+                    a.append(r[1])
+                    b.append(r[2])
+            return a, b, s
+
+        return {"train": split("train.tsv"), "test": split("test.tsv")}
+    raise ValueError(fmt)

@@ -196,3 +196,24 @@ def test_run_mug_track4(tmp_path):
         "--per_device_train_batch_size", "2", "--kpe_top_k", "10",
     ])
     assert res["metrics"]
+
+
+def test_relatedness_file_formats(tmp_path):
+    from spokennlp_tpu.projects.ditto import load_relatedness_files
+
+    (tmp_path / "SICK_train.txt").write_text(
+        "pair_ID\tsentence_A\tsentence_B\trelatedness_score\tjudgment\n"
+        "1\ta cat sits\ta cat is sitting\t4.5\tENTAILMENT\n")
+    (tmp_path / "SICK_test_annotated.txt").write_text(
+        "pair_ID\tsentence_A\tsentence_B\trelatedness_score\tjudgment\n"
+        "2\tdogs run\tcars drive\t1.2\tNEUTRAL\n")
+    d = load_relatedness_files(str(tmp_path), "sick")
+    assert d["train"] == (["a cat sits"], ["a cat is sitting"], [4.5])
+    assert d["test"][2] == [1.2]
+
+    (tmp_path / "sts-train.csv").write_text(
+        "main-news\tMSRpar\t2012\t1\t3.8\tsent one\tsent two\n")
+    (tmp_path / "sts-test.csv").write_text(
+        "main-news\tMSRpar\t2012\t2\t0.4\tx y\tz w\n")
+    d = load_relatedness_files(str(tmp_path), "stsb")
+    assert d["train"] == (["sent one"], ["sent two"], [3.8])
