@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--baseline", type=float, default=5000.0)
-    ap.add_argument("--attention-impl", default="auto", choices=["auto", "einsum", "flash", "pallas", "fused"])
+    ap.add_argument("--attention-impl", default="auto", choices=["auto", "einsum", "flash", "pallas", "fused", "stack"])
     ap.add_argument(
         "--quantize", default="w8a8", choices=["none", "w8a8"],
         help="W8A8 Pallas projections (argmax-parity tested vs bf16; "

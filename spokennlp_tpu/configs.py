@@ -42,7 +42,12 @@ class EncoderConfig:
     # attention implementation: "auto" picks the Pallas flash kernel on TPU
     # (segment-id masking, no materialized score matrix), einsum elsewhere.
     # Note: the flash path does not apply attention-prob dropout.
-    attention_impl: str = "auto"  # auto | einsum | flash | pallas
+    # "fused" = one attention-block kernel + one MLP-block kernel per layer;
+    # "stack" = the whole-stack megakernel (ops/pallas/stack_block.py) — one
+    # pallas_call for all layers, hidden state resident in VMEM; bit-identical
+    # to "fused" in quantized mode and ~6% faster at small batch (B<=32),
+    # neutral at B=128 (measured v5e).
+    attention_impl: str = "auto"  # auto | einsum | flash | pallas | fused | stack
     # W8A8 quantized projections (inference only): all dense projections
     # (fused QKV, attention out, MLP) run as int8 x int8 -> int32 Pallas
     # matmuls with per-token activation / per-channel weight scales and a

@@ -397,6 +397,9 @@ def fused_attention_block(
             ],
             out_specs=pl.BlockSpec((S, L, H), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, L, H), dt),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=B * L * H * 4,
@@ -445,6 +448,9 @@ def fused_attention_block(
         out_specs=pl.BlockSpec((1, L, H), lambda b, g: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, H), dt),
         scratch_shapes=[pltpu.VMEM((L, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=B * G * L * H * 2 + B * L * H * 2,

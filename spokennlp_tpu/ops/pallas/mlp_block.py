@@ -124,8 +124,13 @@ def fused_mlp_block(
         sw2 = jnp.ones((1, H), jnp.float32)
 
     # VMEM: w1+w2 resident (int8: 2*H*I bytes) + x/out blocks + the (bm, I)
-    # intermediate in registers/VMEM values
-    bm = block_m or (512 if I <= 4096 else 256)
+    # intermediate in registers/VMEM values. bm=1024 needs the raised
+    # vmem_limit below; measured 10% faster than bm=512 on v5e
+    # (2.10 vs 2.32 ms at M=65536, H=768, I=3072; bm>=2048 regresses).
+    bm = block_m or (1024 if I <= 4096 else 256)
+    while bm > M:
+        bm //= 2
+    bm = max(bm, 8)
     Mp = ((M + bm - 1) // bm) * bm
     xp = x if Mp == M else jnp.pad(x, ((0, Mp - M), (0, 0)))
     kernel = functools.partial(
@@ -150,6 +155,9 @@ def fused_mlp_block(
         ],
         out_specs=pl.BlockSpec((bm, H), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Mp, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * H * I * 2,
             bytes_accessed=Mp * H * 4 + 2 * H * I,
