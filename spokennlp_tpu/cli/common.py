@@ -38,6 +38,8 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--attention_type", default="dense",
                    choices=["dense", "sliding_window", "bigbird", "ponet"])
     g.add_argument("--attention_window", type=int, default=512)
+    # HF Trainer flag name; remats each layer on backward (jax.checkpoint)
+    g.add_argument("--gradient_checkpointing", action="store_true")
     # architecture knobs (defaults = BERT-base; used when training from
     # scratch / smoke-testing without a checkpoint)
     g.add_argument("--hidden_size", type=int, default=768)
@@ -152,6 +154,7 @@ def build_configs(args, special):
         attention_type=args.attention_type,
         attention_window=args.attention_window,
         pad_token_id=special["pad"],
+        remat=getattr(args, "gradient_checkpointing", False),
     )
     task = TopicSegConfig(
         ts_score_predictor=args.ts_score_predictor,

@@ -55,6 +55,13 @@ class EncoderConfig:
     # bf16 on v5e; applied only when deterministic=True (rounding has no
     # gradient). "none" | "w8a8".
     quantize: str = "none"
+    # rematerialize (jax.checkpoint) each transformer layer on the backward
+    # pass: activations inside a layer are recomputed instead of stored,
+    # cutting peak training memory from O(num_layers * L * (H + 4H + nh*L))
+    # to O(num_layers * L * H) at ~1.3x forward FLOPs — the standard TPU
+    # HBM-vs-FLOPs trade for long-context training (Longformer/BigBird 4096).
+    # Inference paths ignore it (nothing is stored anyway).
+    remat: bool = False
     # run the attention softmax in the compute dtype instead of float32.
     # bf16 softmax measured 32% faster attention on v5e (VPU exp is the
     # bottleneck at L=512); argmax-based inference is insensitive to the

@@ -791,24 +791,33 @@ class Encoder(nn.Module):
 
         all_hidden = (hidden,) if output_hidden_states else None
         all_attn = () if output_attentions else None
+        layer_cls = TransformerLayer
+        if cfg.remat and not deterministic:
+            # gradient checkpointing: recompute the layer on the backward
+            # pass instead of storing its activations (bool/str args are
+            # static; self counts as argnum 0)
+            layer_cls = nn.remat(
+                TransformerLayer, static_argnums=(3, 4, 6, 10, 11)
+            )
         for i in range(cfg.num_layers):
-            hidden, probs = TransformerLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+            hidden, probs = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 hidden,
                 bias,
                 deterministic,
                 output_attentions,
-                flash_segment_ids=flash_segment_ids,
-                use_flash=use_flash,
-                global_mask=(
+                flash_segment_ids,
+                use_flash,
+                (
                     global_attention_mask
                     if cfg.attention_type == "sliding_window"
                     else None
                 ),
-                key_padding_bias=key_padding_bias,
-                raw_attention_mask=(
+                key_padding_bias,
+                (
                     attention_mask if (sliding_chunked or bigbird_block) else None
                 ),
-                attention_impl=impl,
+                impl,
+                False,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

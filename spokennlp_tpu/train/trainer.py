@@ -243,6 +243,11 @@ class TopicSegTrainer:
         from spokennlp_tpu.data.windowing import stack_windows, window_document
 
         docs = docs if docs is not None else self.eval_docs
+        if docs is None:
+            # --do_eval without a validation split (e.g. wiki50/wiki_elements
+            # ship test-only); mirror the "no windows" no-op instead of dying
+            logger.warning("evaluate() called with no eval docs; skipping")
+            return {}
         windows = []
         for eid, doc in enumerate(docs):
             windows.extend(
