@@ -37,6 +37,12 @@ def main(argv=None):
                    choices=["ma", "ca", "ma_moe", "ca_moe", "none"])
     g.add_argument("--projector_type", default="linear",
                    choices=["linear", "transformer"])
+    g.add_argument("--predictor_hybrid_weight_type", default="p", choices=["p", "l"])
+    g.add_argument("--predictor_hybrid_pooling", default="mean", choices=["mean", "max"])
+    g.add_argument("--out_modal_prob", action="store_true",
+                   help="with a cat fuse, also emit per-modality logit splits")
+    g.add_argument("--cross_moe_share_in_layers", action="store_true")
+    g.add_argument("--no_cross_moe_residual", action="store_true")
     g.add_argument("--predictor_type", default="linear",
                    choices=["linear", "transformer", "hybrid"])
     g.add_argument("--mm_hidden_size", type=int, default=128)
@@ -98,6 +104,11 @@ def main(argv=None):
         num_cross_encoder_layers=args.num_cross_encoder_layers,
         fuse_type=args.fuse_type,
         predictor_type=args.predictor_type,
+        predictor_hybrid_weight_type=args.predictor_hybrid_weight_type,
+        predictor_hybrid_pooling=args.predictor_hybrid_pooling,
+        out_modal_prob=args.out_modal_prob,
+        moe_share_in_layers=args.cross_moe_share_in_layers,
+        moe_residual=not args.no_cross_moe_residual,
     )
     K = args.max_clips_per_window
 

@@ -49,11 +49,21 @@ class MultimodalConfig:
     fuse_type: str = "cat"  # cat | mean | max | text_only | vis_only | audio_only
     #                         | cat_a_t | cat_a_v | cat_t_v
     predictor_type: str = "linear"  # linear | transformer | hybrid
+    # hybrid predictor: how the fused/per-modality logit streams are weighted
+    # ("p" = learned scalar params, "l" = per-clip linear gate) and pooled
+    # (reference: hybrid_predictor.py:29-58)
+    predictor_hybrid_weight_type: str = "p"  # p | l
+    predictor_hybrid_pooling: str = "mean"  # mean | max
     num_labels: int = 2
+    # analysis: with a cat fuse, also emit each modality's additive logit
+    # contribution (reference: linear_predictor.py:18-35, out_modal_prob)
+    out_modal_prob: bool = False
     # MoE
     moe_num_experts: int = 4
     moe_top_k: int = 2
     moe_loss_weight: float = 0.01
+    moe_residual: bool = True  # x + moe(x) (reference: cross_moe_residual)
+    moe_share_in_layers: bool = False  # one expert bank reused across layers
 
     @property
     def modalities(self) -> Tuple[str, ...]:
@@ -236,7 +246,7 @@ class MoELayer(nn.Module):
             return jnp.var(v) / (jnp.mean(v) ** 2 + eps)
 
         aux = c.moe_loss_weight * (cv_squared(importance) + cv_squared(load))
-        return x + y, aux  # residual combine
+        return (x + y if c.moe_residual else y), aux
 
 
 class MergeAttentionEncoder(nn.Module):
@@ -253,14 +263,18 @@ class MergeAttentionEncoder(nn.Module):
         z = jnp.concatenate([feats[m] for m in names], axis=1)
         cat_mask = jnp.concatenate([mask] * len(names), axis=1)
         moe_loss = 0.0
+        shared_moe = (
+            MoELayer(c, dtype=self.dtype, name="moe_shared")
+            if self.use_moe and c.moe_share_in_layers
+            else None
+        )
         for i in range(c.num_cross_encoder_layers):
             z = DenseSelfAttentionLayer(c, dtype=self.dtype, name=f"layer_{i}")(
                 z, cat_mask, deterministic
             )
             if self.use_moe:
-                z, aux = MoELayer(c, dtype=self.dtype, name=f"moe_{i}")(
-                    z, cat_mask, deterministic
-                )
+                moe = shared_moe or MoELayer(c, dtype=self.dtype, name=f"moe_{i}")
+                z, aux = moe(z, cat_mask, deterministic)
                 moe_loss = moe_loss + aux
         K = mask.shape[1]
         outs = {m: z[:, i * K : (i + 1) * K] for i, m in enumerate(names)}
@@ -281,6 +295,11 @@ class CoAttentionEncoder(nn.Module):
         names = [m for m in ("text", "vis", "audio") if m in feats]
         cur = dict(feats)
         moe_loss = 0.0
+        shared_moe = (
+            MoELayer(c, dtype=self.dtype, name="moe_shared")
+            if self.use_moe and c.moe_share_in_layers
+            else None
+        )
         for i in range(c.num_cross_encoder_layers):
             new = {}
             for m in names:
@@ -291,11 +310,15 @@ class CoAttentionEncoder(nn.Module):
                 )
             cur = new
             if self.use_moe:
-                for m in names:
-                    cur[m], aux = MoELayer(c, dtype=self.dtype, name=f"{m}_moe_{i}")(
-                        cur[m], mask, deterministic
-                    )
-                    moe_loss = moe_loss + aux
+                # one MoE over the seq-axis concat of all modalities, chunked
+                # back afterwards (reference: ca_moe_encoder.py:89-117)
+                z = jnp.concatenate([cur[m] for m in names], axis=1)
+                cat_mask = jnp.concatenate([mask] * len(names), axis=1)
+                moe = shared_moe or MoELayer(c, dtype=self.dtype, name=f"moe_{i}")
+                z, aux = moe(z, cat_mask, deterministic)
+                moe_loss = moe_loss + aux
+                K = mask.shape[1]
+                cur = {m: z[:, j * K : (j + 1) * K] for j, m in enumerate(names)}
         return cur, (moe_loss if self.use_moe else None)
 
 
@@ -315,15 +338,28 @@ def fuse_features(cfg: MultimodalConfig, feats: Dict[str, Array]) -> Array:
 
 
 class LinearPredictor(nn.Module):
-    """Linear head; for fuse_type=cat can also split per-modality logits
-    (reference: linear_predictor.py:7-63)."""
+    """Linear head; for a cat fuse it can also split the classifier into each
+    modality's additive logit contribution (reference: linear_predictor.py:
+    14-35 — kernel chunked per modality, bias split evenly)."""
 
     cfg: MultimodalConfig
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, fused: Array):
-        return nn.Dense(self.cfg.num_labels, dtype=self.dtype, name="classifier")(fused)
+    def __call__(self, fused: Array, return_modal: bool = False):
+        dense = nn.Dense(self.cfg.num_labels, dtype=self.dtype, name="classifier")
+        logits = dense(fused)
+        if not return_modal:
+            return logits
+        M = len(self.cfg.modalities)
+        h = fused.shape[-1] // M
+        bias = dense(jnp.zeros_like(fused))  # (…, C): the bias term alone
+        modal = []
+        for i in range(M):
+            sel = jnp.zeros((1,) * (fused.ndim - 1) + (fused.shape[-1],), fused.dtype)
+            sel = sel.at[..., i * h : (i + 1) * h].set(1.0)
+            modal.append(dense(fused * sel) - bias + bias / M)
+        return logits, modal
 
 
 class TransformerPredictor(nn.Module):
@@ -343,24 +379,62 @@ class TransformerPredictor(nn.Module):
 
 
 class HybridPredictor(nn.Module):
-    """Per-modality classifiers combined with learned softmax weights
-    (reference: hybrid_predictor.py:8-77)."""
+    """Fused (mm) + per-modality classifiers combined with learned weights.
+
+    Reference semantics (hybrid_predictor.py:9-60): three logit streams
+    (mm_classifier over the fused features, plus one classifier per modality),
+    weighted either by learned scalar parameters softmaxed across streams
+    (``predictor_hybrid_weight_type="p"``, init mm/text/vis = 0.5/0.3/0.2) or
+    by a per-clip linear gate over tanh-projected modality features (``"l"``),
+    then mean- or max-pooled across the weighted streams
+    (``predictor_hybrid_pooling``).
+    """
 
     cfg: MultimodalConfig
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Dict[str, Array]):
+    def __call__(self, feats: Dict[str, Array], fused: Array):
         c = self.cfg
         names = [m for m in ("text", "vis", "audio") if m in feats]
-        logits = [
+        streams = [nn.Dense(c.num_labels, dtype=self.dtype, name="mm_classifier")(fused)]
+        streams += [
             nn.Dense(c.num_labels, dtype=self.dtype, name=f"{m}_classifier")(feats[m])
             for m in names
         ]
-        w = self.param("modal_weights", nn.initializers.zeros, (len(names),))
-        weights = jax.nn.softmax(w)
-        out = sum(weights[i] * logits[i] for i in range(len(names)))
-        return out
+        S = len(streams)
+        if c.predictor_hybrid_weight_type == "l":
+            # per-clip gate: softmax(W_mm [tanh(W_m feats_m)]_m) -> (B, K, S)
+            gates = jnp.concatenate(
+                [
+                    jnp.tanh(
+                        nn.Dense(c.hidden_size, dtype=self.dtype, name=f"{m}_gate")(
+                            feats[m]
+                        )
+                    )
+                    for m in names
+                ],
+                axis=-1,
+            )
+            weights = jax.nn.softmax(
+                nn.Dense(S, dtype=self.dtype, name="gate_classifier")(gates), axis=-1
+            )
+        else:  # "p": scalar stream weights (reference init 0.5/0.3/0.2)
+            init_vals = (0.5, 0.3, 0.2, 0.1)[:S]
+            w = self.param(
+                "modal_weights",
+                lambda key, shape: jnp.asarray(init_vals, jnp.float32),
+                (S,),
+            )
+            weights = jnp.broadcast_to(
+                jax.nn.softmax(w), fused.shape[:-1] + (S,)
+            ).astype(self.dtype)
+        weighted = jnp.stack(streams, axis=-1) * weights[..., None, :]  # (B,K,C,S)
+        if c.predictor_hybrid_pooling == "max":
+            return jnp.max(weighted, axis=-1)
+        if c.predictor_hybrid_pooling == "mean":
+            return jnp.mean(weighted, axis=-1)
+        raise ValueError(c.predictor_hybrid_pooling)
 
 
 class MultiModalForTS(nn.Module):
@@ -413,19 +487,27 @@ class MultiModalForTS(nn.Module):
                 raise ValueError(c.cross_encoder_type)
 
         fused = fuse_features(c, feats)
+        modal_logits = None
         if c.predictor_type == "linear":
-            logits = LinearPredictor(c, dtype=self.dtype, name="predictor")(fused)
+            split_modal = c.out_modal_prob and c.fuse_type.startswith("cat")
+            out = LinearPredictor(c, dtype=self.dtype, name="predictor")(
+                fused, return_modal=split_modal
+            )
+            logits, modal_logits = out if split_modal else (out, None)
         elif c.predictor_type == "transformer":
             logits = TransformerPredictor(c, dtype=self.dtype, name="predictor")(
                 fused, clip_mask
             )
         elif c.predictor_type == "hybrid":
-            logits = HybridPredictor(c, dtype=self.dtype, name="predictor")(feats)
+            logits = HybridPredictor(c, dtype=self.dtype, name="predictor")(
+                feats, fused
+            )
         else:
             raise ValueError(c.predictor_type)
 
         return {
             "logits": logits,  # (B, K, num_labels)
+            "modal_logits": modal_logits,  # out_modal_prob: per-modality splits
             "fused": fused,
             "features": feats,
             "projected": projected,

@@ -68,6 +68,115 @@ def test_predictor_variants(predictor):
     assert out["logits"].shape == (B, K, 2)
 
 
+@pytest.mark.parametrize("weight_type", ["p", "l"])
+@pytest.mark.parametrize("pooling", ["mean", "max"])
+def test_hybrid_predictor_matches_reference_math(weight_type, pooling):
+    """Numpy oracle of the reference hybrid combine (hybrid_predictor.py:29-58):
+    mm/text/vis logit streams * softmax stream weights -> mean/max pool."""
+    from spokennlp_tpu.models.multimodal import HybridPredictor
+
+    cfg = MultimodalConfig(
+        hidden_size=16,
+        fuse_type="cat_t_v",
+        predictor_type="hybrid",
+        predictor_hybrid_weight_type=weight_type,
+        predictor_hybrid_pooling=pooling,
+    )
+    rng = np.random.default_rng(3)
+    B, K, H = 2, 5, 16
+    feats = {
+        "text": jnp.asarray(rng.normal(size=(B, K, H)).astype(np.float32)),
+        "vis": jnp.asarray(rng.normal(size=(B, K, H)).astype(np.float32)),
+    }
+    fused = jnp.concatenate([feats["text"], feats["vis"]], axis=-1)
+    mod = HybridPredictor(cfg)
+    params = mod.init(jax.random.PRNGKey(0), feats, fused)["params"]
+    got = np.asarray(mod.apply({"params": params}, feats, fused))
+
+    def dense(p, x):
+        return x @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+
+    streams = np.stack(
+        [
+            dense(params["mm_classifier"], np.asarray(fused)),
+            dense(params["text_classifier"], np.asarray(feats["text"])),
+            dense(params["vis_classifier"], np.asarray(feats["vis"])),
+        ],
+        axis=-1,
+    )  # (B, K, C, 3)
+    if weight_type == "p":
+        w = np.asarray(params["modal_weights"], np.float64)
+        np.testing.assert_allclose(w, [0.5, 0.3, 0.2])  # reference init
+        e = np.exp(w - w.max())
+        weights = np.broadcast_to(e / e.sum(), (B, K, 3))
+    else:
+        gates = np.concatenate(
+            [
+                np.tanh(dense(params["text_gate"], np.asarray(feats["text"]))),
+                np.tanh(dense(params["vis_gate"], np.asarray(feats["vis"]))),
+            ],
+            axis=-1,
+        )
+        z = dense(params["gate_classifier"], gates)
+        e = np.exp(z - z.max(axis=-1, keepdims=True))
+        weights = e / e.sum(axis=-1, keepdims=True)
+    weighted = streams * weights[..., None, :]
+    want = weighted.max(axis=-1) if pooling == "max" else weighted.mean(axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_out_modal_prob_splits_sum_to_logits():
+    """Per-modality additive logit splits (linear_predictor.py:18-35): kernel
+    chunked per modality, bias split evenly — the splits must sum back to the
+    full cat-classifier logits."""
+    cfg = MultimodalConfig(
+        hidden_size=16,
+        cross_encoder_type="none",
+        fuse_type="cat",
+        out_modal_prob=True,
+    )
+    rng = np.random.default_rng(4)
+    B, K = 2, 4
+    model = MultiModalForTS(cfg)
+    mask = jnp.ones((B, K), jnp.int32)
+    t, v, a = _feats(rng, B, K, 24), _feats(rng, B, K, 20), _feats(rng, B, K, 12)
+    params = model.init(jax.random.PRNGKey(0), mask, t, v, a)["params"]
+    out = model.apply({"params": params}, mask, t, v, a)
+    modal = out["modal_logits"]
+    assert len(modal) == 3
+    np.testing.assert_allclose(
+        np.asarray(sum(modal)), np.asarray(out["logits"]), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("ce_type", ["ma_moe", "ca_moe"])
+def test_moe_share_in_layers_shares_expert_bank(ce_type):
+    """cross_moe_share_in_layers: one expert bank across layers (reference:
+    ca_moe_encoder.py:102-105)."""
+    cfg = MultimodalConfig(
+        hidden_size=32,
+        num_cross_encoder_layers=2,
+        num_cross_encoder_heads=2,
+        intermediate_size=64,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        cross_encoder_type=ce_type,
+        moe_num_experts=2,
+        moe_top_k=1,
+        moe_share_in_layers=True,
+    )
+    rng = np.random.default_rng(5)
+    B, K = 2, 4
+    model = MultiModalForTS(cfg)
+    mask = jnp.ones((B, K), jnp.int32)
+    t, v, a = _feats(rng, B, K, 24), _feats(rng, B, K, 20), _feats(rng, B, K, 12)
+    params = model.init(jax.random.PRNGKey(0), mask, t, v, a)["params"]
+    ce = params["cross_encoder"]
+    assert "moe_shared" in ce and not any(k.startswith("moe_0") for k in ce)
+    out = model.apply({"params": params}, mask, t, v, a)
+    assert np.isfinite(float(out["moe_loss"]))
+
+
 def test_modality_cl_matches_torch_oracle():
     """Oracle: reference ModalityContrastiveLearning over packed valid clips."""
     rng = np.random.default_rng(2)
