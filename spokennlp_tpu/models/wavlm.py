@@ -50,6 +50,9 @@ class WavLMConfig:
     num_buckets: int = 320
     max_bucket_distance: int = 800
     layer_norm_eps: float = 1e-5
+    # False = HuBERT: identical stack minus the gated relative-position bias
+    # (reference alternative dumper: simple_kmeans/dump_hubert_feature.py)
+    use_rel_pos_bias: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -128,7 +131,9 @@ class _GatedRelPosAttention(nn.Module):
         B, L, H = x.shape
         nh, hd = c.num_heads, c.head_dim
 
-        if position_bias is None:
+        if not c.use_rel_pos_bias:  # HuBERT: plain MHA
+            gated_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        elif position_bias is None:
             assert self.has_relative_position_bias
             rel_embed = self.param(
                 "rel_attn_embed", nn.initializers.normal(0.02), (c.num_buckets, nh)
@@ -140,18 +145,19 @@ class _GatedRelPosAttention(nn.Module):
                 rel_embed.astype(jnp.float32)[buckets], (2, 0, 1)
             )  # (nh, L, L)
 
-        # per-layer gate from the attention INPUT viewed per head
-        # (HF WavLMAttention.forward steps 1-4)
-        ghs = x.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)  # (B, nh, L, hd)
-        proj = nn.Dense(8, dtype=self.dtype, name="gru_rel_pos_linear")(ghs)
-        proj = proj.reshape(B, nh, L, 2, 4).sum(-1)
-        gates = jax.nn.sigmoid(proj.astype(jnp.float32))
-        gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # (B, nh, L, 1)
-        const = self.param(
-            "gru_rel_pos_const", nn.initializers.ones, (1, nh, 1, 1)
-        )
-        gate = gate_a * (gate_b * const.astype(jnp.float32) - 1.0) + 2.0
-        gated_bias = gate * position_bias[None]  # (B, nh, L, L)
+        if c.use_rel_pos_bias:
+            # per-layer gate from the attention INPUT viewed per head
+            # (HF WavLMAttention.forward steps 1-4)
+            ghs = x.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)  # (B, nh, L, hd)
+            proj = nn.Dense(8, dtype=self.dtype, name="gru_rel_pos_linear")(ghs)
+            proj = proj.reshape(B, nh, L, 2, 4).sum(-1)
+            gates = jax.nn.sigmoid(proj.astype(jnp.float32))
+            gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]  # (B, nh, L, 1)
+            const = self.param(
+                "gru_rel_pos_const", nn.initializers.ones, (1, nh, 1, 1)
+            )
+            gate = gate_a * (gate_b * const.astype(jnp.float32) - 1.0) + 2.0
+            gated_bias = gate * position_bias[None]  # (B, nh, L, L)
 
         q = nn.DenseGeneral((nh, hd), axis=-1, dtype=self.dtype, name="q_proj")(x)
         k = nn.DenseGeneral((nh, hd), axis=-1, dtype=self.dtype, name="k_proj")(x)
@@ -288,6 +294,28 @@ def hf_wavlm_config_to_config(hf_cfg) -> WavLMConfig:
     )
 
 
+def hf_hubert_config_to_config(hf_cfg) -> WavLMConfig:
+    """transformers HubertConfig -> WavLMConfig with the rel-pos bias off
+    (HuBERT = the same wav2vec2-family stack with plain MHA; reference
+    dumper: simple_kmeans/dump_hubert_feature.py)."""
+    return WavLMConfig(
+        hidden_size=hf_cfg.hidden_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        intermediate_size=hf_cfg.intermediate_size,
+        conv_dim=tuple(hf_cfg.conv_dim),
+        conv_kernel=tuple(hf_cfg.conv_kernel),
+        conv_stride=tuple(hf_cfg.conv_stride),
+        conv_bias=hf_cfg.conv_bias,
+        feat_extract_norm=hf_cfg.feat_extract_norm,
+        do_stable_layer_norm=hf_cfg.do_stable_layer_norm,
+        num_conv_pos_embeddings=hf_cfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hf_cfg.num_conv_pos_embedding_groups,
+        layer_norm_eps=hf_cfg.layer_norm_eps,
+        use_rel_pos_bias=False,
+    )
+
+
 def hf_wavlm_to_params(sd: Dict[str, np.ndarray], cfg: WavLMConfig) -> Dict:
     """transformers WavLMModel numpy state dict -> Flax params."""
     c = cfg
@@ -360,11 +388,12 @@ def hf_wavlm_to_params(sd: Dict[str, np.ndarray], cfg: WavLMConfig) -> Dict:
                 ),
                 "bias": sd[b + "attention.out_proj.bias"],
             },
-            "gru_rel_pos_linear": dense(b + "attention.gru_rel_pos_linear"),
-            "gru_rel_pos_const": sd[b + "attention.gru_rel_pos_const"],
         }
-        if i == 0:
-            attn["rel_attn_embed"] = sd[b + "attention.rel_attn_embed.weight"]
+        if c.use_rel_pos_bias:
+            attn["gru_rel_pos_linear"] = dense(b + "attention.gru_rel_pos_linear")
+            attn["gru_rel_pos_const"] = sd[b + "attention.gru_rel_pos_const"]
+            if i == 0:
+                attn["rel_attn_embed"] = sd[b + "attention.rel_attn_embed.weight"]
         params[f"layer_{i}"] = {
             "attention": attn,
             "layer_norm": ln(b + "layer_norm"),

@@ -200,12 +200,17 @@ def dump_wavlm_features(
     the reference fans this stage out over GPUs; here one jitted program
     streams max_chunk windows per utterance. device="torch" keeps the
     host-torch fallback. Either way the checkpoint must be locally staged
-    (zero-egress environment)."""
+    (zero-egress environment).
+
+    A "hubert" model_name selects the HuBERT encoder (same stack, plain MHA;
+    reference alternative dumper: simple_kmeans/dump_hubert_feature.py)."""
+    is_hubert = "hubert" in model_name.lower()
     if device == "torch":
         import torch
-        from transformers import WavLMModel as HFWavLM
+        from transformers import HubertModel, WavLMModel
 
-        model = HFWavLM.from_pretrained(model_name).to("cpu").eval()
+        hf_cls = HubertModel if is_hubert else WavLMModel
+        model = hf_cls.from_pretrained(model_name).to("cpu").eval()
         feats = []
         with torch.no_grad():
             for wav in wav_arrays:
@@ -219,17 +224,20 @@ def dump_wavlm_features(
                 feats.append(np.concatenate(chunks, axis=0))
         return feats
 
-    from transformers import WavLMModel as HFWavLM
+    from transformers import HubertModel, WavLMModel as HFWavLM
 
     from spokennlp_tpu.models.wavlm import (
         WavLMModel,
         extract_wavlm_features,
+        hf_hubert_config_to_config,
         hf_wavlm_config_to_config,
         hf_wavlm_to_params,
     )
 
-    hf = HFWavLM.from_pretrained(model_name)
-    cfg = hf_wavlm_config_to_config(hf.config)
+    hf = (HubertModel if is_hubert else HFWavLM).from_pretrained(model_name)
+    cfg = (hf_hubert_config_to_config if is_hubert else hf_wavlm_config_to_config)(
+        hf.config
+    )
     params = hf_wavlm_to_params(
         {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg
     )

@@ -67,6 +67,47 @@ def test_wavlm_parity_vs_hf(stable):
     )
 
 
+def test_hubert_parity_vs_hf():
+    """HuBERT = the same stack with plain MHA (use_rel_pos_bias=False);
+    reference alternative dumper: simple_kmeans/dump_hubert_feature.py."""
+    torch = pytest.importorskip("torch")
+    from transformers import HubertConfig, HubertModel
+
+    from spokennlp_tpu.models.wavlm import hf_hubert_config_to_config
+
+    hf_cfg = HubertConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        conv_dim=(8, 8),
+        conv_kernel=(4, 2),
+        conv_stride=(2, 2),
+        conv_bias=False,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    hf = HubertModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    cfg = hf_hubert_config_to_config(hf_cfg)
+    assert not cfg.use_rel_pos_bias
+    params = hf_wavlm_to_params(sd, cfg)
+    model = WavLMModel(cfg)
+
+    rng = np.random.default_rng(2)
+    wave = rng.normal(size=(2, 400)).astype(np.float32) * 0.1
+    got = model.apply({"params": params}, jnp.asarray(wave))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wave))
+    np.testing.assert_allclose(
+        np.asarray(got["last_hidden_state"]),
+        want.last_hidden_state.numpy(),
+        atol=3e-4, rtol=1e-3,
+    )
+
+
 def test_relative_position_buckets_properties():
     b = relative_position_buckets(12, num_buckets=32, max_distance=50)
     assert b.shape == (12, 12)
