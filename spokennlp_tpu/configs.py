@@ -73,7 +73,7 @@ class EncoderConfig:
     # to ~1k tokens, exact HF semantics); "chunked" is the O(L * window)
     # banded implementation enabling 4096-token contexts; "auto" picks
     # chunked when L > 1024.
-    sliding_window_impl: str = "auto"  # auto | bias | chunked
+    sliding_window_impl: str = "auto"  # auto | bias | chunked | fused
     max_global_tokens: int = 16  # static cap for the chunked global path  # one-sided window is attention_window // 2
     # bigbird block-sparse attention (attention_type="bigbird"; reference
     # backbone: emnlp2023-topic_segmentation/src/models/bigbird_for_ts.py).

@@ -293,6 +293,7 @@ class SelfAttention(nn.Module):
         attention_impl: Optional[str] = None,
         fused_ln: Optional[tuple] = None,
         collect_raw: bool = False,
+        sliding_fused: bool = False,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -349,6 +350,45 @@ class SelfAttention(nn.Module):
                     ln_scale=ln_scale,
                     ln_bias=ln_bias,
                     eps=cfg.layer_norm_eps,
+                ),
+                None,
+            )
+        if sliding_fused:
+            # one-kernel Longformer block: local+global QKV projections,
+            # banded attention, global rows, out proj, residual+LN epilogue
+            # (ops/pallas/sliding_block.py; contract: suffix padding, prefix
+            # globals — guaranteed by the windowing featurizer + CLS mask)
+            from spokennlp_tpu.ops.pallas.sliding_block import (
+                fused_sliding_attention_block,
+            )
+
+            qkv_kernel, qkv_bias = qkv_proj(hidden, layout="raw")
+            gqkv_kernel, gqkv_bias = FusedQKV(
+                nh, hd, dtype=self.dtype, name="qkv_global"
+            )(hidden, layout="raw")
+            out_kernel, out_bias = AttnOutProj(
+                H, dtype=self.dtype, num_heads=nh, head_dim=hd, name="out"
+            )(hidden, layout="raw")
+            ln_scale, ln_bias = fused_ln if fused_ln is not None else (None, None)
+            return (
+                fused_sliding_attention_block(
+                    hidden,
+                    raw_attention_mask,
+                    global_mask,
+                    qkv_kernel,
+                    qkv_bias,
+                    gqkv_kernel,
+                    gqkv_bias,
+                    out_kernel,
+                    out_bias,
+                    sm_scale=1.0 / float(hd) ** 0.5,
+                    window=cfg.attention_window,
+                    max_globals=cfg.max_global_tokens,
+                    quantized=quant,
+                    ln_scale=ln_scale,
+                    ln_bias=ln_bias,
+                    eps=cfg.layer_norm_eps,
+                    interpret=jax.default_backend() == "cpu",
                 ),
                 None,
             )
@@ -499,6 +539,7 @@ class TransformerLayer(nn.Module):
         raw_attention_mask: Optional[Array] = None,
         attention_impl: Optional[str] = None,
         collect_raw: bool = False,
+        sliding_fused: bool = False,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -543,7 +584,14 @@ class TransformerLayer(nn.Module):
             and not output_attentions
             and deterministic  # kernels skip dropout and have no VJP
         )
-        if fused_half:
+        fused_sliding = (
+            sliding_fused
+            and raw_attention_mask is not None
+            and global_mask is not None
+            and not output_attentions
+            and deterministic
+        )
+        if fused_half or fused_sliding:
             from spokennlp_tpu.ops.pallas.mlp_block import fused_mlp_block
 
             B, L, H = hidden.shape
@@ -554,8 +602,11 @@ class TransformerLayer(nn.Module):
                 deterministic,
                 False,
                 flash_segment_ids=flash_segment_ids,
+                global_mask=global_mask,
+                raw_attention_mask=raw_attention_mask,
                 attention_impl="fused",
                 fused_ln=ln1,
+                sliding_fused=fused_sliding,
             )
             w1, b1 = _DenseParams(H, cfg.intermediate_size, name="mlp_in")()
             w2, b2 = _DenseParams(cfg.intermediate_size, H, name="mlp_out")()
@@ -637,7 +688,12 @@ class Encoder(nn.Module):
         deterministic: bool = True,
         output_hidden_states: bool = False,
         output_attentions: bool = False,
+        prefix_globals: Optional[int] = None,
     ) -> EncoderOutput:
+        """``prefix_globals``: static promise that global tokens occur only in
+        the first N positions AND padding is a suffix (true for the CLS-only
+        masks the task models build + the right-padding featurizers). Enables
+        the fused sliding-window Pallas kernel on TPU inference."""
         cfg = self.config
         B, L = input_ids.shape
 
@@ -687,6 +743,7 @@ class Encoder(nn.Module):
         flash_segment_ids = None
         key_padding_bias = None
         sliding_chunked = False
+        sliding_fused = False
         bigbird_block = False
         if use_flash or use_pallas:
             if pack_segment_ids is not None:
@@ -723,9 +780,28 @@ class Encoder(nn.Module):
                 bigbird_block = True
         elif cfg.attention_type == "sliding_window":
             sw_impl = cfg.sliding_window_impl
+            C_half = max(cfg.attention_window // 2, 1)
+            fused_sliding_ok = (
+                impl in ("fused", "stack")  # TPU-inference impl resolution
+                and deterministic
+                and not output_attentions
+                and prefix_globals is not None
+                and prefix_globals <= cfg.max_global_tokens
+                and global_attention_mask is not None
+                and L % C_half == 0
+                and C_half % 8 == 0
+            )
             if sw_impl == "auto":
-                sw_impl = "chunked" if L > 1024 else "bias"
-            if sw_impl == "chunked" and L % max(cfg.attention_window // 2, 1) == 0:
+                sw_impl = (
+                    "fused"
+                    if fused_sliding_ok
+                    else ("chunked" if L > 1024 else "bias")
+                )
+            if sw_impl == "fused" and fused_sliding_ok:
+                # one-kernel Longformer block (ops/pallas/sliding_block.py);
+                # bias stays None, SelfAttention consumes the raw masks
+                sliding_fused = True
+            elif sw_impl in ("chunked", "fused") and L % C_half == 0:
                 # banded O(L * window) path; bias stays None and SelfAttention
                 # dispatches on (attention_mask, global_mask) directly
                 sliding_chunked = True
@@ -797,7 +873,7 @@ class Encoder(nn.Module):
             # pass instead of storing its activations (bool/str args are
             # static; self counts as argnum 0)
             layer_cls = nn.remat(
-                TransformerLayer, static_argnums=(3, 4, 6, 10, 11)
+                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12)
             )
         for i in range(cfg.num_layers):
             hidden, probs = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
@@ -814,10 +890,13 @@ class Encoder(nn.Module):
                 ),
                 key_padding_bias,
                 (
-                    attention_mask if (sliding_chunked or bigbird_block) else None
+                    attention_mask
+                    if (sliding_chunked or bigbird_block or sliding_fused)
+                    else None
                 ),
                 impl,
                 False,
+                sliding_fused,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

@@ -60,9 +60,13 @@ class TopicSegModel(nn.Module):
         pack_segment_ids: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Dict[str, Array]:
+        prefix_globals = None
         if global_attention_mask is None and self.enc_cfg.attention_type == "sliding_window":
-            # Longformer convention: CLS is global (longformer_for_ts.py:55-58)
+            # Longformer convention: CLS is global (longformer_for_ts.py:55-58).
+            # CLS-only + the right-padding featurizer satisfy the fused
+            # sliding kernel's prefix-globals/suffix-padding contract.
             global_attention_mask = jnp.zeros_like(attention_mask).at[:, 0].set(1)
+            prefix_globals = 1
         out = self.encoder(
             input_ids,
             attention_mask=attention_mask,
@@ -71,6 +75,7 @@ class TopicSegModel(nn.Module):
             position_ids=position_ids,
             pack_segment_ids=pack_segment_ids,
             deterministic=deterministic,
+            prefix_globals=prefix_globals,
         )
         seq = self.head_dropout(out.last_hidden_state, deterministic=deterministic)
         token_logits = self.classifier(seq)

@@ -111,6 +111,9 @@ def w8a8_matmul(
             pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, sp, w8, sw, b)
     return out[:M] if Mp != M else out
@@ -186,6 +189,11 @@ def w8a8_matmul_bf16in(
             pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        # the f32 rowquant + i32 accumulator temporaries exceed the default
+        # 16 MB scoped budget at bm=2048 (observed 18.06M at K=N=768)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, w8, sw, b)
     return out[:M] if Mp != M else out

@@ -7,9 +7,10 @@ longformer_for_ts.py:55-58). Here the structure is expressed two ways:
 1. ``sliding_window_attention_mask_bias`` — an additive (B, L, L) bias consumed
    by the dense einsum path. Exact, simple, and fine up to ~2k tokens; XLA
    fuses the bias add into the softmax.
-2. a blocked Pallas kernel (ops/pallas/sliding_attention_kernel.py) for long
-   sequences, which never materializes the (L, L) score matrix. The mask-bias
-   path doubles as its correctness reference in tests.
+2. ``chunked_sliding_window_attention`` — a blocked O(L * window) formulation
+   that never materializes the (L, L) score matrix (queries in chunks of
+   window//2, each against its 3 neighboring key chunks + global keys). The
+   mask-bias path doubles as its correctness oracle in tests.
 """
 
 from __future__ import annotations
