@@ -294,6 +294,7 @@ class SelfAttention(nn.Module):
         fused_ln: Optional[tuple] = None,
         collect_raw: bool = False,
         sliding_fused: bool = False,
+        sliding_global_rows: bool = True,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -389,6 +390,7 @@ class SelfAttention(nn.Module):
                     ln_bias=ln_bias,
                     eps=cfg.layer_norm_eps,
                     interpret=jax.default_backend() == "cpu",
+                    global_rows=sliding_global_rows,
                 ),
                 None,
             )
@@ -540,6 +542,7 @@ class TransformerLayer(nn.Module):
         attention_impl: Optional[str] = None,
         collect_raw: bool = False,
         sliding_fused: bool = False,
+        sliding_global_rows: bool = True,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -607,6 +610,7 @@ class TransformerLayer(nn.Module):
                 attention_impl="fused",
                 fused_ln=ln1,
                 sliding_fused=fused_sliding,
+                sliding_global_rows=sliding_global_rows,
             )
             w1, b1 = _DenseParams(H, cfg.intermediate_size, name="mlp_in")()
             w2, b2 = _DenseParams(cfg.intermediate_size, H, name="mlp_out")()
@@ -873,7 +877,7 @@ class Encoder(nn.Module):
             # pass instead of storing its activations (bool/str args are
             # static; self counts as argnum 0)
             layer_cls = nn.remat(
-                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12)
+                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12, 13)
             )
         for i in range(cfg.num_layers):
             hidden, probs = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
@@ -897,6 +901,7 @@ class Encoder(nn.Module):
                 impl,
                 False,
                 sliding_fused,
+                (prefix_globals or 0) > 0,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

@@ -141,6 +141,11 @@ class PoNetMixer(nn.Module):
         ).astype(self.dtype)
 
         mixed = ga + smp + lmp
+        # fusion break: without it XLA fuses the whole pooling chain
+        # (softmax + segment-max scatter + reduce_window) into the out
+        # matmul's kOutput fusion, whose scoped-VMEM stack overflows at
+        # L=4096/B=8 on v5e (observed 19.46M > 16M -> compile failure)
+        mixed = jax.lax.optimization_barrier(mixed)
         out = nn.Dense(H, dtype=self.dtype, name="out")(mixed)
         return out
 

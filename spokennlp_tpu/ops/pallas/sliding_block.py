@@ -75,6 +75,7 @@ def _sliding_block_kernel(
     quantized: bool,
     fuse_ln: bool,
     eps: float,
+    global_rows: bool,  # False = caller promises zero global tokens
 ):
     from jax.experimental import pallas as pl
 
@@ -192,7 +193,9 @@ def _sliding_block_kernel(
     # ---- stage D: global rows via the *_global projections --------------
     # (HF semantics: global-position queries re-attend to the whole sequence
     # through dedicated projections; their rows replace the local result.)
-    if quantized:
+    if not global_rows:
+        ctx = ctx_s[:]
+    elif quantized:
         xg8 = x8[:G]
         sxg = sx[:G]
 
@@ -221,32 +224,33 @@ def _sliding_block_kernel(
         kg = gproj(1, x).astype(x.dtype)
         vg = gproj(2, x).astype(x.dtype)
 
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    key_bias = jnp.where(li < n_valid, 0.0, NEG_INF).astype(jnp.float32)
-    cg_parts = []
-    for h in range(nh):
-        col = slice(h * hd, (h + 1) * hd)
-        sc = (
-            jax.lax.dot_general(
-                qg[:, col], kg[:, col], (((1,), (1,)), ((), ())),
+    if global_rows:
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        key_bias = jnp.where(li < n_valid, 0.0, NEG_INF).astype(jnp.float32)
+        cg_parts = []
+        for h in range(nh):
+            col = slice(h * hd, (h + 1) * hd)
+            sc = (
+                jax.lax.dot_general(
+                    qg[:, col], kg[:, col], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + key_bias
+            )  # (G, L)
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp((sc - m).astype(x.dtype))
+            denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            cgh = jax.lax.dot_general(
+                p.astype(x.dtype), vg[:, col], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            + key_bias
-        )  # (G, L)
-        m = jnp.max(sc, axis=-1, keepdims=True)
-        p = jnp.exp((sc - m).astype(x.dtype))
-        denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-        cgh = jax.lax.dot_general(
-            p.astype(x.dtype), vg[:, col], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        cg_parts.append(cgh / denom)
-    cg = jnp.concatenate(cg_parts, axis=1)  # (G, H) f32
+            cg_parts.append(cgh / denom)
+        cg = jnp.concatenate(cg_parts, axis=1)  # (G, H) f32
 
-    ri = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    row_is_global = ri < n_glob  # (L, 1); prefix-only by contract
-    cg_pad = jnp.concatenate([cg, jnp.zeros((L - G, H), jnp.float32)], axis=0)
-    ctx = jnp.where(row_is_global, cg_pad, ctx_s[:])
+        ri = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        row_is_global = ri < n_glob  # (L, 1); prefix-only by contract
+        cg_pad = jnp.concatenate([cg, jnp.zeros((L - G, H), jnp.float32)], axis=0)
+        ctx = jnp.where(row_is_global, cg_pad, ctx_s[:])
 
     # ---- stage E: output projection (+ residual + LN) -------------------
     if quantized:
@@ -299,6 +303,7 @@ def _prep_qkv(kernel: Array, bias: Array, quantized: bool, dt):
         "quantized",
         "eps",
         "interpret",
+        "global_rows",
     ),
 )
 def fused_sliding_attention_block(
@@ -319,6 +324,8 @@ def fused_sliding_attention_block(
     ln_bias: Optional[Array] = None,
     eps: float = 1e-12,
     interpret: bool = False,
+    global_rows: bool = True,  # False = statically no global tokens: skip
+    #                            the *_global projections and row replacement
 ) -> Array:
     """Longformer attention block; returns (B, L, H) (post-LN if ln_* given).
 
@@ -365,6 +372,7 @@ def fused_sliding_attention_block(
         quantized=quantized,
         fuse_ln=fuse_ln,
         eps=float(eps),
+        global_rows=global_rows,
     )
     flops = B * (
         2 * 3 * L * H * H  # local qkv

@@ -49,10 +49,19 @@ class MMVTSModel(nn.Module):
     ):
         text_feats = None
         if "text" in self.mm_cfg.modalities:
+            gmask, prefix = None, None
+            if self.enc_cfg.attention_type == "sliding_window":
+                # reference parity: text_encoder.py passes no global tokens
+                # (HF Longformer default); an explicit all-zeros mask + the
+                # prefix promise still enable the fused sliding kernel
+                gmask = jnp.zeros_like(attention_mask)
+                prefix = 0
             out = Encoder(self.enc_cfg, dtype=self.dtype, name="text_encoder")(
                 input_ids,
                 attention_mask=attention_mask,
+                global_attention_mask=gmask,
                 deterministic=deterministic,
+                prefix_globals=prefix,
             )
             text_feats = gather_sentence_features(out.last_hidden_state, clip_positions)
         fusion = MultiModalForTS(self.mm_cfg, dtype=self.dtype, name="fusion")(

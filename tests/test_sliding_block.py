@@ -108,6 +108,37 @@ def test_fused_sliding_matches_chunked_path():
     )
 
 
+def test_fused_sliding_no_globals_fast_path():
+    """prefix_globals=0 (MMVTS text-encoder parity: HF Longformer with no
+    global tokens) statically skips the global-row stage; results must match
+    the einsum path given the same all-zeros global mask."""
+    ids, mask, _ = _inputs()
+    zeros = jnp.zeros_like(mask)
+    cfg_o = _cfg()
+    cfg_f = _cfg(attention_impl="fused", sliding_window_impl="fused")
+    enc_o = Encoder(cfg_o)
+    params = enc_o.init(
+        jax.random.PRNGKey(3), ids, attention_mask=mask,
+        global_attention_mask=zeros,
+    )["params"]
+    out_o = enc_o.apply(
+        {"params": params}, ids, attention_mask=mask, global_attention_mask=zeros
+    )
+    out_f = Encoder(cfg_f).apply(
+        {"params": params},
+        ids,
+        attention_mask=mask,
+        global_attention_mask=zeros,
+        prefix_globals=0,
+    )
+    valid = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out_f.last_hidden_state)[valid],
+        np.asarray(out_o.last_hidden_state)[valid],
+        atol=2e-2,
+    )
+
+
 def test_fused_sliding_requires_prefix_contract():
     """Without the prefix_globals promise the encoder must NOT pick the
     kernel (falls back to chunked/bias) — results stay correct for any mask."""
