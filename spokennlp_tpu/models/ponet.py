@@ -80,11 +80,11 @@ def smp_second_max(x: Array, segment_ids: Array, num_segments: int) -> Array:
 
 def local_max_pool(x: Array, window: int, mask: Array) -> Array:
     """Sliding-window max over the sequence axis. x: (B, L, D), mask: (B, L)."""
-    neg = jnp.where(mask[..., None].astype(bool), x, NEG_INF)
+    neg = jnp.where(mask[..., None].astype(bool), x, jnp.asarray(NEG_INF, x.dtype))
     half = window // 2
     return jax.lax.reduce_window(
         neg,
-        -jnp.inf,
+        jnp.asarray(-jnp.inf, x.dtype),
         jax.lax.max,
         window_dimensions=(1, window, 1),
         window_strides=(1, 1, 1),
@@ -114,16 +114,25 @@ class PoNetMixer(nn.Module):
         s_proj = dense("s")(hidden)
         l_proj = dense("l")(hidden)
 
-        maskf = attention_mask.astype(jnp.float32)[..., None]
+        # The pooling chain runs in the COMPUTE dtype: max/compare/select are
+        # exact in any float dtype (values pass through unchanged), and the
+        # f32 casts of the (B, L, H) tensors were the mixer's measured
+        # bottleneck on v5e (7.13 -> 4.16 ms/layer at B=8/L=4096 in bf16).
+        # Only the GA reductions accumulate in f32.
+        maskc = attention_mask.astype(self.dtype)[..., None]
 
         # --- GA: masked mean query + one-query attention
-        denom = jnp.maximum(maskf.sum(axis=1), 1.0)  # (B, 1)
-        g = (q * maskf).sum(axis=1) / denom  # (B, H)
+        denom = jnp.maximum(
+            attention_mask.astype(jnp.float32).sum(axis=1, keepdims=True), 1.0
+        )  # (B, 1)
+        g = ((q * maskc).sum(axis=1, dtype=jnp.float32) / denom).astype(self.dtype)
         scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim * cfg.num_heads, jnp.float32))
-        att = jnp.einsum("bh,blh->bl", g.astype(jnp.float32), k.astype(jnp.float32))
-        att = att * scale + (1.0 - maskf[..., 0]) * NEG_INF
+        att = (k * g[:, None, :]).sum(-1, dtype=jnp.float32)  # (B, L)
+        att = att * scale + (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
         w = jax.nn.softmax(att, axis=-1).astype(self.dtype)
-        g_prime = jnp.einsum("bl,blh->bh", w, v)  # (B, H)
+        g_prime = (
+            (w[:, :, None] * v).sum(axis=1, dtype=jnp.float32).astype(self.dtype)
+        )  # (B, H)
         ga = g_prime[:, None, :] * q  # cross fusion
 
         # --- SMP: per-segment channel max with second-max trick
@@ -131,14 +140,12 @@ class PoNetMixer(nn.Module):
         seg = jnp.where(attention_mask.astype(bool), segment_ids, 0).astype(jnp.int32)
         num_segments = L + 1
 
-        smp = jax.vmap(
-            lambda xs, ss: smp_second_max(xs.astype(jnp.float32), ss, num_segments)
-        )(s_proj, seg).astype(self.dtype)
+        smp = jax.vmap(lambda xs, ss: smp_second_max(xs, ss, num_segments))(
+            s_proj, seg
+        )
 
         # --- LMP: window max
-        lmp = local_max_pool(
-            l_proj.astype(jnp.float32), cfg.ponet_local_window, attention_mask
-        ).astype(self.dtype)
+        lmp = local_max_pool(l_proj, cfg.ponet_local_window, attention_mask)
 
         mixed = ga + smp + lmp
         # fusion break: without it XLA fuses the whole pooling chain

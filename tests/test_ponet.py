@@ -48,6 +48,28 @@ def test_smp_second_max_semantics():
     np.testing.assert_allclose(out[3], [9.0, 0.0])
 
 
+def test_smp_pooling_bf16_exact():
+    """The pooling chain runs in the compute dtype on TPU: max/compare only
+    SELECT input values, so bf16 results must equal the f32 path bit-for-bit
+    on bf16-representable inputs."""
+    rng = np.random.default_rng(7)
+    x16 = jnp.asarray(rng.normal(size=(24, 8)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    seg = jnp.asarray(rng.integers(0, 4, size=(24,)).astype(np.int32))
+    got16 = smp_second_max(x16, seg, 4)
+    got32 = smp_second_max(x16.astype(jnp.float32), seg, 4)
+    np.testing.assert_array_equal(
+        np.asarray(got16, np.float32), np.asarray(got32, np.float32)
+    )
+    mask = jnp.ones((1, 24), jnp.int32)
+    lp16 = local_max_pool(x16[None], 3, mask)
+    lp32 = local_max_pool(x16[None].astype(jnp.float32), 3, mask)
+    np.testing.assert_array_equal(
+        np.asarray(lp16, np.float32), np.asarray(lp32, np.float32)
+    )
+
+
 def test_local_max_pool_window3():
     x = jnp.asarray([[[1.0], [5.0], [2.0], [4.0]]])  # (1, 4, 1)
     mask = jnp.ones((1, 4), jnp.int32)
