@@ -341,7 +341,8 @@ def fused_sliding_attention_block(
     assert three == 3
     C = window // 2
     assert L % C == 0 and C % 8 == 0, (L, C)
-    G = max(int(max_globals), 8)
+    # global-column block width: >= 8 for sane tiling, never beyond L
+    G = min(max(int(max_globals), 8), L)
     dt = hidden.dtype
 
     wqkv, swqkv, bqkv = _prep_qkv(qkv_kernel, qkv_bias, quantized, dt)
