@@ -42,7 +42,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from spokennlp_tpu.configs import EncoderConfig
-from spokennlp_tpu.models.encoder import ACT2FN, Embeddings, EncoderOutput
+from spokennlp_tpu.models.encoder import (
+    ACT2FN,
+    Embeddings,
+    EncoderOutput,
+    QuantDense,
+)
 
 Array = jax.Array
 
@@ -106,7 +111,11 @@ class PoNetMixer(nn.Module):
     ) -> Array:
         cfg = self.config
         B, L, H = hidden.shape
-        dense = lambda name: nn.Dense(H, dtype=self.dtype, name=name)
+        # W8A8 projections on the inference path (QuantDense is an nn.Dense
+        # param twin; rounding has no gradient so training keeps Dense)
+        quant = cfg.quantize == "w8a8" and deterministic
+        mk = QuantDense if quant else nn.Dense
+        dense = lambda name: mk(H, dtype=self.dtype, name=name)
 
         q = dense("q")(hidden)
         k = dense("k")(hidden)
@@ -153,7 +162,7 @@ class PoNetMixer(nn.Module):
         # matmul's kOutput fusion, whose scoped-VMEM stack overflows at
         # L=4096/B=8 on v5e (observed 19.46M > 16M -> compile failure)
         mixed = jax.lax.optimization_barrier(mixed)
-        out = nn.Dense(H, dtype=self.dtype, name="out")(mixed)
+        out = mk(H, dtype=self.dtype, name="out")(mixed)
         return out
 
 
@@ -171,6 +180,31 @@ class PoNetLayer(nn.Module):
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="mixer_ln"
         )(hidden + mixed)
+
+        if cfg.quantize == "w8a8" and deterministic:
+            # same fused MLP half-layer kernel as the dense trunk: the
+            # (M, 4H) intermediate never leaves VMEM (param-tree twins)
+            from spokennlp_tpu.models.encoder import _DenseParams, _LNParams
+            from spokennlp_tpu.ops.pallas.mlp_block import fused_mlp_block
+
+            B, L, H = hidden.shape
+            w1, b1 = _DenseParams(H, cfg.intermediate_size, name="mlp_in")()
+            w2, b2 = _DenseParams(cfg.intermediate_size, H, name="mlp_out")()
+            ln2_scale, ln2_bias = _LNParams(H, name="mlp_ln")()
+            out = fused_mlp_block(
+                hidden.reshape(B * L, H),
+                w1,
+                b1,
+                w2,
+                b2,
+                ln2_scale,
+                ln2_bias,
+                activation=cfg.hidden_act,
+                eps=cfg.layer_norm_eps,
+                quantized=True,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return out.reshape(B, L, H)
 
         mlp = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_in")(hidden)
         mlp = ACT2FN[cfg.hidden_act](mlp)

@@ -70,6 +70,31 @@ def test_smp_pooling_bf16_exact():
     )
 
 
+def test_ponet_w8a8_close_to_float():
+    """quantize="w8a8" (QuantDense + fused MLP block, CPU integer twin) must
+    track the float path closely through the same param tree."""
+    rng = np.random.default_rng(9)
+    B, L = 2, 32
+    ids = jnp.asarray(rng.integers(3, 127, size=(B, L)), jnp.int32)
+    mask = jnp.ones((B, L), jnp.int32)
+    segs = jnp.asarray((np.arange(L) // 8 + 1)[None].repeat(B, 0).astype(np.int32))
+    enc_f = PoNetEncoder(CFG)
+    params = enc_f.init(jax.random.PRNGKey(0), ids, attention_mask=mask,
+                        segment_ids=segs)["params"]
+    out_f = enc_f.apply({"params": params}, ids, attention_mask=mask,
+                        segment_ids=segs)
+    import dataclasses
+    cfg_q = dataclasses.replace(CFG, quantize="w8a8")
+    out_q = PoNetEncoder(cfg_q).apply({"params": params}, ids,
+                                      attention_mask=mask, segment_ids=segs)
+    a = np.asarray(out_f.last_hidden_state, np.float32).ravel()
+    b = np.asarray(out_q.last_hidden_state, np.float32).ravel()
+    assert np.isfinite(b).all()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.995, corr
+    assert np.abs(a - b).mean() < 0.05 * np.abs(a).mean() + 0.05
+
+
 def test_local_max_pool_window3():
     x = jnp.asarray([[[1.0], [5.0], [2.0], [4.0]]])  # (1, 4, 1)
     mask = jnp.ones((1, 4), jnp.int32)
