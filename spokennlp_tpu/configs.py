@@ -86,6 +86,10 @@ class EncoderConfig:
     bigbird_impl: str = "auto"  # auto | bias | block
     # ponet
     ponet_local_window: int = 3
+    # PoNet mixer path: "auto"/"xla" = the XLA formulation (measured fastest
+    # at PoNet scale); "fused" = the one-kernel Pallas block (opt-in; its
+    # segmented-scan rolls are slower at L=4096 — see ROUND1_NOTES.md)
+    ponet_mixer_impl: str = "auto"  # auto | fused | xla
     # embedding variant: "absolute" learned positions (BERT family)
     position_embedding_type: str = "absolute"
     # position-id convention: "bert" = arange(L); "roberta" = offset past the

@@ -47,6 +47,8 @@ from spokennlp_tpu.models.encoder import (
     Embeddings,
     EncoderOutput,
     QuantDense,
+    _DenseParams,
+    _LNParams,
 )
 
 Array = jax.Array
@@ -87,9 +89,11 @@ def local_max_pool(x: Array, window: int, mask: Array) -> Array:
     """Sliding-window max over the sequence axis. x: (B, L, D), mask: (B, L)."""
     neg = jnp.where(mask[..., None].astype(bool), x, jnp.asarray(NEG_INF, x.dtype))
     half = window // 2
+    # NOTE: the init value must stay a python scalar — an Array init demotes
+    # the op to generic reduce_window, which has no reverse-mode autodiff
     return jax.lax.reduce_window(
         neg,
-        jnp.asarray(-jnp.inf, x.dtype),
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, window, 1),
         window_strides=(1, 1, 1),
@@ -108,12 +112,47 @@ class PoNetMixer(nn.Module):
         attention_mask: Array,
         segment_ids: Array,
         deterministic: bool = True,
+        fused_ln: Optional[tuple] = None,
     ) -> Array:
         cfg = self.config
         B, L, H = hidden.shape
         # W8A8 projections on the inference path (QuantDense is an nn.Dense
         # param twin; rounding has no gradient so training keeps Dense)
         quant = cfg.quantize == "w8a8" and deterministic
+
+        if fused_ln is not None:
+            # one-kernel mixer block (ops/pallas/ponet_block.py): projections,
+            # GA, segmented-top-2 SMP, LMP, out proj, residual+LN — all in
+            # VMEM. Contract: equal segment ids form contiguous runs (the
+            # featurizer's sentence/paragraph ids + trailing pad run).
+            from spokennlp_tpu.ops.pallas.ponet_block import (
+                fused_ponet_mixer_block,
+            )
+
+            ks, bs = [], []
+            for name in ("q", "k", "v", "s", "l"):
+                kk, bb = _DenseParams(H, H, name=name)()
+                ks.append(kk)
+                bs.append(bb)
+            out_k, out_b = _DenseParams(H, H, name="out")()
+            ln_scale, ln_bias = fused_ln
+            return fused_ponet_mixer_block(
+                hidden,
+                attention_mask,
+                segment_ids,
+                jnp.stack(ks),
+                jnp.stack(bs),
+                out_k,
+                out_b,
+                local_window=cfg.ponet_local_window,
+                sm_scale=1.0 / float(cfg.head_dim * cfg.num_heads) ** 0.5,
+                quantized=quant,
+                ln_scale=ln_scale,
+                ln_bias=ln_bias,
+                eps=cfg.layer_norm_eps,
+                interpret=jax.default_backend() == "cpu",
+            )
+
         mk = QuantDense if quant else nn.Dense
         dense = lambda name: mk(H, dtype=self.dtype, name=name)
 
@@ -173,18 +212,28 @@ class PoNetLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attention_mask, segment_ids, deterministic=True):
         cfg = self.config
-        mixed = PoNetMixer(cfg, dtype=self.dtype, name="mixer")(
-            hidden, attention_mask, segment_ids, deterministic
-        )
-        mixed = nn.Dropout(cfg.hidden_dropout)(mixed, deterministic=deterministic)
-        hidden = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="mixer_ln"
-        )(hidden + mixed)
+        # "auto" resolves to the XLA mixer: the fused kernel is measured
+        # SLOWER at PoNet scale (44.9 vs 97.6 seqs/s at L=4096/B=8) — the
+        # segmented scan's dynamic sublane rolls dominate. Kept opt-in
+        # ("fused") as a correct, oracle-tested formulation.
+        use_fused = cfg.ponet_mixer_impl == "fused" and deterministic
+        if use_fused:
+            ln1 = _LNParams(cfg.hidden_size, name="mixer_ln")()
+            hidden = PoNetMixer(cfg, dtype=self.dtype, name="mixer")(
+                hidden, attention_mask, segment_ids, deterministic, fused_ln=ln1
+            )
+        else:
+            mixed = PoNetMixer(cfg, dtype=self.dtype, name="mixer")(
+                hidden, attention_mask, segment_ids, deterministic
+            )
+            mixed = nn.Dropout(cfg.hidden_dropout)(mixed, deterministic=deterministic)
+            hidden = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="mixer_ln"
+            )(hidden + mixed)
 
         if cfg.quantize == "w8a8" and deterministic:
             # same fused MLP half-layer kernel as the dense trunk: the
             # (M, 4H) intermediate never leaves VMEM (param-tree twins)
-            from spokennlp_tpu.models.encoder import _DenseParams, _LNParams
             from spokennlp_tpu.ops.pallas.mlp_block import fused_mlp_block
 
             B, L, H = hidden.shape
