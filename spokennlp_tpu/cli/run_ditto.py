@@ -34,6 +34,8 @@ def main(argv=None):
                    help="SentEval downstream-task data root")
     p.add_argument("--transfer_tasks", nargs="*", default=[],
                    help="subset of MR CR SUBJ MPQA SST2 TREC MRPC")
+    p.add_argument("--probing_files", nargs="*", default=[],
+                   help="SentEval probing-task files (tr|va|te\\tlabel\\tsent)")
     p.add_argument("--relatedness_dir", default=None,
                    help="STS-B/SICK relatedness task dir")
     p.add_argument("--relatedness_format", default="tsv",
@@ -119,6 +121,16 @@ def main(argv=None):
                 tdir = args.transfer_dir
             tasks[t] = D.load_senteval_classification(tdir, t)
         results["transfer"] = D.evaluate_transfer_classification(
+            embed_fn, batch_tokenize, tasks, batch_size=args.batch_size
+        )
+
+    # ---------------- linguistic probing tasks (tr/va/te single files)
+    if args.probing_files:
+        tasks = {
+            os.path.splitext(os.path.basename(f))[0]: D.load_senteval_probing(f)
+            for f in args.probing_files
+        }
+        results["probing"] = D.evaluate_transfer_classification(
             embed_fn, batch_tokenize, tasks, batch_size=args.batch_size
         )
 

@@ -281,9 +281,16 @@ def evaluate_transfer_classification(
             ytr = np.asarray(data["train"][1])
             Xte = _embed_corpus(embed_fn, tokenize_fn, data["test"][0], batch_size)
             yte = np.asarray(data["test"][1])
-            Xin, Xval, yin, yval = train_test_split(
-                Xtr, ytr, test_size=0.2, random_state=seed, stratify=ytr
-            )
+            if "dev" in data:
+                # explicit validation split (the probing tasks ship tr/va/te;
+                # reference: senteval/tools/validation.py SplitClassifier)
+                Xin, yin = Xtr, ytr
+                Xval = _embed_corpus(embed_fn, tokenize_fn, data["dev"][0], batch_size)
+                yval = np.asarray(data["dev"][1])
+            else:
+                Xin, Xval, yin, yval = train_test_split(
+                    Xtr, ytr, test_size=0.2, random_state=seed, stratify=ytr
+                )
             best_c, best_acc = c_grid[0], -1.0
             for C in c_grid:
                 clf = LogisticRegression(C=C, max_iter=2000, random_state=seed)
@@ -464,6 +471,35 @@ def load_senteval_classification(task_dir: str, task: str):
             "test": split("msr_paraphrase_test.txt"),
         }
     raise ValueError(f"unknown SentEval task {task}")
+
+
+def load_senteval_probing(path: str):
+    """SentEval PROBING-task file -> train/dev/test transfer splits.
+
+    One file per task (sentence_length, word_content, tree_depth,
+    top_constituents, bigram_shift, past_present, subj_number, obj_number,
+    odd_man_out, coordination_inversion) with rows
+    ``tr|va|te \\t label \\t sentence`` (reference:
+    ditto/SentEval/senteval/probing.py:40-55; label ids = sorted unique
+    TRAIN labels, matching the reference's tok2label construction).
+    """
+    import codecs
+
+    split_map = {"tr": "train", "va": "dev", "te": "test"}
+    raw: Dict[str, Tuple[list, list]] = {v: ([], []) for v in split_map.values()}
+    with codecs.open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3 or parts[0] not in split_map:
+                continue
+            sents, labs = raw[split_map[parts[0]]]
+            sents.append(parts[-1])
+            labs.append(parts[1])
+    tok2label = {l: i for i, l in enumerate(sorted(set(raw["train"][1])))}
+    return {
+        split: (sents, [tok2label[l] for l in labs])
+        for split, (sents, labs) in raw.items()
+    }
 
 
 def load_relatedness_files(task_dir: str, fmt: str = "tsv"):

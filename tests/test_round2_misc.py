@@ -86,6 +86,39 @@ def test_transfer_classification_probing():
     assert res["toy_kfold"]["acc"] > 85.0
 
 
+def test_probing_file_loader_and_eval(tmp_path):
+    """SentEval probing format (probing.py:40-55): tr|va|te \\t label \\t
+    sentence -> train/dev/test splits with sorted-train label ids, evaluated
+    through the transfer harness with the explicit dev split."""
+    from spokennlp_tpu.projects import ditto as D
+
+    tokenize, embed = _toy_embed_setup()
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for split, n in (("tr", 120), ("va", 30), ("te", 40)):
+        for _ in range(n):
+            s = list(rng.choice(words, size=4))
+            y = int(rng.random() < 0.5)
+            if y:
+                s[int(rng.integers(0, 4))] = "good"
+            rows.append(f"{split}\t{'PRESENT' if y else 'ABSENT'}\t{' '.join(s)}")
+    path = tmp_path / "word_content.txt"
+    path.write_text("\n".join(rows))
+
+    data = D.load_senteval_probing(str(path))
+    assert set(data) == {"train", "dev", "test"}
+    assert len(data["train"][0]) == 120 and len(data["dev"][0]) == 30
+    # sorted unique train labels: ABSENT -> 0, PRESENT -> 1
+    assert set(data["train"][1]) == {0, 1}
+
+    res = D.evaluate_transfer_classification(
+        lambda ids, am: embed(ids, am), tokenize, {"word_content": data},
+        batch_size=16,
+    )
+    assert res["word_content"]["acc"] > 85.0
+
+
 def test_similarity_regression_head():
     from spokennlp_tpu.projects import ditto as D
 
