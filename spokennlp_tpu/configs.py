@@ -83,7 +83,7 @@ class EncoderConfig:
     bigbird_num_global_blocks: int = 2
     bigbird_num_random_blocks: int = 3
     bigbird_seed: int = 0
-    bigbird_impl: str = "auto"  # auto | bias | block
+    bigbird_impl: str = "auto"  # auto | bias | block | fused
     # ponet
     ponet_local_window: int = 3
     # PoNet mixer path: "auto"/"xla" = the XLA formulation (measured fastest

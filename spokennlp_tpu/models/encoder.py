@@ -295,6 +295,7 @@ class SelfAttention(nn.Module):
         collect_raw: bool = False,
         sliding_fused: bool = False,
         sliding_global_rows: bool = True,
+        bigbird_fused: bool = False,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -391,6 +392,39 @@ class SelfAttention(nn.Module):
                     eps=cfg.layer_norm_eps,
                     interpret=jax.default_backend() == "cpu",
                     global_rows=sliding_global_rows,
+                ),
+                None,
+            )
+        if bigbird_fused:
+            # one-kernel BigBird block (ops/pallas/bigbird_block_kernel.py;
+            # contract: suffix padding — the featurizers right-pad)
+            from spokennlp_tpu.ops.pallas.bigbird_block_kernel import (
+                fused_bigbird_attention_block,
+            )
+
+            qkv_kernel, qkv_bias = qkv_proj(hidden, layout="raw")
+            out_kernel, out_bias = AttnOutProj(
+                H, dtype=self.dtype, num_heads=nh, head_dim=hd, name="out"
+            )(hidden, layout="raw")
+            ln_scale, ln_bias = fused_ln if fused_ln is not None else (None, None)
+            return (
+                fused_bigbird_attention_block(
+                    hidden,
+                    raw_attention_mask,
+                    qkv_kernel,
+                    qkv_bias,
+                    out_kernel,
+                    out_bias,
+                    block_size=cfg.bigbird_block_size,
+                    num_global_blocks=cfg.bigbird_num_global_blocks,
+                    num_random_blocks=cfg.bigbird_num_random_blocks,
+                    seed=cfg.bigbird_seed,
+                    sm_scale=1.0 / float(hd) ** 0.5,
+                    quantized=quant,
+                    ln_scale=ln_scale,
+                    ln_bias=ln_bias,
+                    eps=cfg.layer_norm_eps,
+                    interpret=jax.default_backend() == "cpu",
                 ),
                 None,
             )
@@ -543,6 +577,7 @@ class TransformerLayer(nn.Module):
         collect_raw: bool = False,
         sliding_fused: bool = False,
         sliding_global_rows: bool = True,
+        bigbird_fused: bool = False,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -594,7 +629,13 @@ class TransformerLayer(nn.Module):
             and not output_attentions
             and deterministic
         )
-        if fused_half or fused_sliding:
+        fused_bigbird = (
+            bigbird_fused
+            and raw_attention_mask is not None
+            and not output_attentions
+            and deterministic
+        )
+        if fused_half or fused_sliding or fused_bigbird:
             from spokennlp_tpu.ops.pallas.mlp_block import fused_mlp_block
 
             B, L, H = hidden.shape
@@ -611,6 +652,7 @@ class TransformerLayer(nn.Module):
                 fused_ln=ln1,
                 sliding_fused=fused_sliding,
                 sliding_global_rows=sliding_global_rows,
+                bigbird_fused=fused_bigbird,
             )
             w1, b1 = _DenseParams(H, cfg.intermediate_size, name="mlp_in")()
             w2, b2 = _DenseParams(cfg.intermediate_size, H, name="mlp_out")()
@@ -749,6 +791,7 @@ class Encoder(nn.Module):
         sliding_chunked = False
         sliding_fused = False
         bigbird_block = False
+        bigbird_fused = False
         if use_flash or use_pallas:
             if pack_segment_ids is not None:
                 # pad tokens = 0, window i = i+1 (caller contract)
@@ -764,13 +807,27 @@ class Encoder(nn.Module):
             from spokennlp_tpu.ops.bigbird_attention import bigbird_attention_bias
 
             bb_impl = cfg.bigbird_impl
+            bigbird_fused_ok = (
+                impl in ("fused", "stack")
+                and deterministic
+                and not output_attentions
+                and prefix_globals is not None  # suffix-padding promise
+                and L % cfg.bigbird_block_size == 0
+                and cfg.bigbird_block_size % 8 == 0
+            )
             if bb_impl == "auto":
-                bb_impl = "block" if L > 1024 else "bias"
+                bb_impl = (
+                    "fused"
+                    if bigbird_fused_ok
+                    else ("block" if L > 1024 else "bias")
+                )
             assert L % cfg.bigbird_block_size == 0, (
                 f"bigbird needs L ({L}) divisible by block_size "
                 f"({cfg.bigbird_block_size})"
             )
-            if bb_impl == "bias":
+            if bb_impl == "fused" and bigbird_fused_ok:
+                bigbird_fused = True
+            elif bb_impl == "bias":
                 bias = bigbird_attention_bias(
                     attention_mask,
                     cfg.bigbird_block_size,
@@ -877,7 +934,7 @@ class Encoder(nn.Module):
             # pass instead of storing its activations (bool/str args are
             # static; self counts as argnum 0)
             layer_cls = nn.remat(
-                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12, 13)
+                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12, 13, 14)
             )
         for i in range(cfg.num_layers):
             hidden, probs = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
@@ -895,13 +952,19 @@ class Encoder(nn.Module):
                 key_padding_bias,
                 (
                     attention_mask
-                    if (sliding_chunked or bigbird_block or sliding_fused)
+                    if (
+                        sliding_chunked
+                        or bigbird_block
+                        or sliding_fused
+                        or bigbird_fused
+                    )
                     else None
                 ),
                 impl,
                 False,
                 sliding_fused,
                 (prefix_globals or 0) > 0,
+                bigbird_fused,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

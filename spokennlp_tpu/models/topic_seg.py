@@ -61,6 +61,10 @@ class TopicSegModel(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, Array]:
         prefix_globals = None
+        if self.enc_cfg.attention_type == "bigbird":
+            # suffix-padding promise (the featurizer right-pads): enables the
+            # fused BigBird kernel; globals are structural (first blocks)
+            prefix_globals = 0
         if global_attention_mask is None and self.enc_cfg.attention_type == "sliding_window":
             # Longformer convention: CLS is global (longformer_for_ts.py:55-58).
             # CLS-only + the right-padding featurizer satisfy the fused
