@@ -19,8 +19,16 @@ def _toy_embed_setup(H=8, seed=0):
     rng = np.random.default_rng(seed)
     table = rng.normal(size=(97, H)).astype(np.float32)
 
+    import zlib
+
     def tokenize(sentences):
-        rows = [[1 + hash(w) % 96 for w in s.split()] or [0] for s in sentences]
+        # crc32, NOT hash(): python string hashing is randomized per process
+        # (PYTHONHASHSEED), which made the toy vocab collide under unlucky
+        # seeds and the probe accuracy flaky across suite runs
+        rows = [
+            [1 + zlib.crc32(w.encode()) % 96 for w in s.split()] or [0]
+            for s in sentences
+        ]
         L = max(len(r) for r in rows)
         ids = np.zeros((len(rows), L), np.int32)
         mask = np.zeros((len(rows), L), np.int32)
