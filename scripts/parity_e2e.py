@@ -1,0 +1,651 @@
+"""Cross-framework end-to-end quality-parity harness.
+
+This is the system-level proof behind the BASELINE quality gate ("Pk /
+WinDiff parity vs PyTorch reference within 0.2" — BASELINE.md): it
+fine-tunes, on the SAME synthetic WikiSection-style corpus and from the SAME
+randomly-initialized HF BERT trunk,
+
+  (a) a torch oracle that is faithful, module by module, to the reference's
+      first-party model + loss stack (reference:
+      emnlp2023-topic_segmentation/src/models/bert_for_ts.py:19-113,
+      src/models/modules/loss_calculator.py:11-73, cssl.py:11-274,
+      tssp.py:10-36, utils.py:90-194), trained with a minimal HF-Trainer-
+      equivalent loop (AdamW, linear decay, grad clip 1.0), and
+
+  (b) this framework's own run_finetune CLI (spokennlp_tpu.cli.run_finetune),
+
+under the reference recipe scaled down (run_finetune.sh:14-46: ts/tssp/cl
+loss weights 1.0/1.0/0.5, cl_temp 0.1, cl_anchor_level eop_list, linear LR),
+then evaluates both with the same metric formulas (boundary P/R/F1 +
+Pk/WinDiff, eval/seg_metrics.py — themselves unit-tested against the
+reference's seqeval.py:108-373 semantics) and reports the deltas.
+
+Both sides share the host featurization pipeline (data/windowing.py +
+data/augmentation.py), which is golden-tested against the reference's window
+loop (ts_sentence_seq_labeling.py:814-918) — so the comparison isolates the
+model / loss / training / inference stack, which is exactly the part that
+was rebuilt TPU-native.
+
+Usage:
+  python scripts/parity_e2e.py --workdir /tmp/parity            # full run
+  python scripts/parity_e2e.py --workdir /tmp/parity --epochs 6 # quicker
+
+The pytest entry point is tests/test_reference_parity_e2e.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+IGNORE = -100
+
+# --------------------------------------------------------------------------
+# synthetic WikiSection-style corpus
+# --------------------------------------------------------------------------
+
+N_TOPIC_TYPES = 8
+WORDS_PER_TYPE = 10
+OPENER = "sectstart"  # first sentence of a topic opens with this word
+CLOSER = "sectclose"  # topic-final sentences usually contain this word
+
+
+def vocab_words():
+    words = [OPENER, CLOSER]
+    for t in range(N_TOPIC_TYPES):
+        words += [f"t{t}w{j}" for j in range(WORDS_PER_TYPE)]
+    return words
+
+
+def write_vocab(path: str):
+    """BERT vocab file understood by both transformers.BertTokenizer and
+    utils/tokenization.FullTokenizer."""
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[BOS]"]
+    with open(path, "w") as f:
+        for w in specials + vocab_words():
+            f.write(w + "\n")
+    return specials
+
+
+def gen_document(rng: random.Random):
+    """One document: 3-6 topics, topics of 2-5 sentences grouped into 1-2
+    sentence paragraphs. Raw label scheme of the unified jsonl (reference
+    preprocess_data.py:19-33): 1 = end of topic, 0 = end of paragraph,
+    -100 = mid-paragraph.
+
+    Boundary signal (so the task is learnable but not trivial): topic-final
+    sentences contain CLOSER with p=0.9; non-final sentences contain it with
+    p=0.05; consecutive topics draw from different word clusters; topic
+    openers start with OPENER.
+    """
+    sentences, labels = [], []
+    n_topics = rng.randint(3, 6)
+    prev_type = -1
+    for ti in range(n_topics):
+        ttype = rng.choice([t for t in range(N_TOPIC_TYPES) if t != prev_type])
+        prev_type = ttype
+        cluster = [f"t{ttype}w{j}" for j in range(WORDS_PER_TYPE)]
+        n_sents = rng.randint(2, 5)
+        # paragraph grouping: walk sentences, closing a paragraph every 1-2
+        para_left = rng.randint(1, 2)
+        for si in range(n_sents):
+            words = rng.choices(cluster, k=rng.randint(4, 7))
+            if si == 0:
+                words = [OPENER] + words
+            is_final = si == n_sents - 1
+            has_closer = rng.random() < (0.9 if is_final else 0.05)
+            if has_closer:
+                words.append(CLOSER)
+            sentences.append(" ".join(words))
+            para_left -= 1
+            if is_final:
+                labels.append(1)
+            elif para_left == 0:
+                labels.append(0)
+                para_left = rng.randint(1, 2)
+            else:
+                labels.append(-100)
+    return {"sentences": sentences, "labels": labels}
+
+
+def write_corpus(data_dir: str, seed: int, n_train=48, n_dev=12, n_test=12):
+    os.makedirs(data_dir, exist_ok=True)
+    rng = random.Random(seed)
+    for split, n in (("train", n_train), ("dev", n_dev), ("test", n_test)):
+        with open(os.path.join(data_dir, f"{split}.jsonl"), "w") as f:
+            for _ in range(n):
+                f.write(json.dumps(gen_document(rng)) + "\n")
+
+
+def build_assets(workdir: str, seed: int = 0, hidden=64, layers=2, heads=4,
+                 intermediate=128):
+    """vocab + corpus + one randomly-initialized tiny HF BERT checkpoint that
+    BOTH frameworks start from (the shared-trunk contract of the gate)."""
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    os.makedirs(workdir, exist_ok=True)
+    vocab_path = os.path.join(workdir, "vocab.txt")
+    write_vocab(vocab_path)
+    data_dir = os.path.join(workdir, "data")
+    write_corpus(data_dir, seed + 1)
+
+    model_dir = os.path.join(workdir, "trunk")
+    tok = BertTokenizer(vocab_file=vocab_path, do_lower_case=True)
+    n_vocab = tok.vocab_size
+    torch.manual_seed(seed)
+    cfg = BertConfig(
+        vocab_size=n_vocab,
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=intermediate,
+        max_position_embeddings=512,
+    )
+    BertModel(cfg).save_pretrained(model_dir)
+    tok.save_pretrained(model_dir)
+    return {"workdir": workdir, "vocab": vocab_path, "data_dir": data_dir,
+            "model_dir": model_dir, "hidden": hidden}
+
+
+# --------------------------------------------------------------------------
+# hyperparameters (run_finetune.sh:14-46 scaled to the tiny trunk)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HP:
+    max_seq_length: int = 128
+    batch_size: int = 8  # effective batch (run_finetune.sh eff. batch 8)
+    # scaled for the from-scratch tiny trunk: measured to converge (torch
+    # side F1 0.73 / Pk 0.14 at 300 epochs x 8 steps; under ~150 epochs the
+    # boundary head stays at the all-O collapse)
+    learning_rate: float = 2e-3
+    epochs: float = 300.0
+    seed: int = 42
+    ts_loss_weight: float = 1.0
+    tssp_loss_weight: float = 1.0
+    cl_loss_weight: float = 0.5
+    cl_temp: float = 0.1
+    cl_anchor_level: str = "eop_list"
+    cl_positive_k: int = 1
+    cl_negative_k: int = 1
+    weight_label_zero: float = 0.5
+    focal_loss_gamma: float = 0.0
+    weight_decay: float = 0.01
+    dropout: float = 0.1
+
+
+# --------------------------------------------------------------------------
+# torch oracle — reference first-party stack, semantics-faithful
+# --------------------------------------------------------------------------
+
+
+def _torch_oracle_classes():
+    """Definitions live in a factory so importing this file stays torch-free
+    (the pytest collector imports the module on CPU-only workers)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from transformers import BertModel
+
+    class OracleCSSL:
+        """Reference CSSL semantics (cssl.py:11-274): topic ids from the
+        label walk (:250-262), eop_list sampling walk (:118-167), InfoNCE
+        over cosine/temp sims (:82-116), eop_matrix mode (:21-73)."""
+
+        def __init__(self, hp: HP, sampling_rng: random.Random):
+            self.hp = hp
+            self.rng = sampling_rng
+
+        def topic_segment_ids(self, eop_label_lists):
+            # cssl.py:250-262
+            ids, seg = [], 0
+            for ex in eop_label_lists:
+                if not ex:
+                    continue
+                for l in ex:
+                    ids.append(seg)
+                    if l == 0:  # B-EOP = end of topic
+                        seg += 1
+                if ex[-1] == 1:
+                    seg += 1
+            return ids
+
+        def cl_loss_for_list(self, eop_feats, anchor_feats, pos_idx, neg_idx):
+            # cssl.py:82-116
+            import torch
+
+            sims = []
+            for i in range(self.hp.cl_positive_k):
+                p = eop_feats[pos_idx[i]]
+                sims.append(F.cosine_similarity(anchor_feats, p, dim=-1) / self.hp.cl_temp)
+            for i in range(self.hp.cl_negative_k):
+                n = eop_feats[neg_idx[i]]
+                sims.append(F.cosine_similarity(anchor_feats, n, dim=-1) / self.hp.cl_temp)
+            sims = torch.stack(sims)  # (kp+kn, n_anchor)
+            exp = torch.exp(sims)
+            num = exp[: self.hp.cl_positive_k].sum(0)
+            den = exp.sum(0)
+            return (-torch.log(num / den)).mean()
+
+        def eop_list_loss(self, eop_feats, seg_ids):
+            # cssl.py:118-167 sampling walk
+            total_topics = seg_ids[-1] + 1
+            n = len(seg_ids)
+            bot = [seg_ids.index(i) for i in range(total_topics)]
+            eot = [v - 1 for v in bot[1:]] + [n - 1]
+            pos_idx = [[] for _ in range(self.hp.cl_positive_k)]
+            neg_idx = [[] for _ in range(self.hp.cl_negative_k)]
+            for ei, tid in enumerate(seg_ids):
+                s, e = bot[tid], eot[tid]
+                choice = list(range(s, e)) or [e]
+                p = ei
+                for i in range(self.hp.cl_positive_k):
+                    p -= 1
+                    if p < s:
+                        p = self.rng.choice(choice)
+                    pos_idx[i].append(p)
+                choice = list(range(e + 1, eot[-1] + 1)) or list(range(bot[0], bot[1]))
+                p = e
+                for i in range(self.hp.cl_negative_k):
+                    p += 1
+                    if p >= n:
+                        p = self.rng.choice(choice)
+                    neg_idx[i].append(p)
+            return self.cl_loss_for_list(eop_feats, eop_feats, pos_idx, neg_idx)
+
+        def eop_matrix_loss(self, eop_feats, seg_ids):
+            # cssl.py:21-73
+            import torch
+
+            n = len(seg_ids)
+            seg = torch.tensor(seg_ids)
+            same = seg[:, None] == seg[None, :]
+            eye = torch.eye(n, dtype=torch.bool)
+            num_mask = same & ~eye
+            den_mask = ~same
+            sims = F.cosine_similarity(
+                eop_feats[:, None], eop_feats[None, :], dim=-1
+            ) / self.hp.cl_temp
+            exp = torch.exp(sims)
+            num = (num_mask * exp).sum(0)
+            den = num + (den_mask * exp).sum(0)
+            prob = num / den
+            nz = prob[prob != 0]
+            if nz.numel() == 0:
+                return None
+            return (-torch.log(nz)).mean()
+
+        def __call__(self, seq_out, labels):
+            # labels: (B, L) token-level; eop feature = hidden at each live-
+            # label BOS (equivalent to the reference's scatter_reduce(amax)
+            # over single-token segments, loss_calculator.py:21-23)
+            import torch
+
+            feats, label_lists = [], []
+            for b in range(labels.shape[0]):
+                live = labels[b] != IGNORE
+                feats.append(seq_out[b][live])
+                label_lists.append([int(v) for v in labels[b][live]])
+            eop_feats = torch.cat(feats, dim=0)
+            seg_ids = self.topic_segment_ids(label_lists)
+            if len(seg_ids) <= 2 or seg_ids[-1] == 0:
+                return None  # cssl.py:263 guard: need >= 2 topics
+            if self.hp.cl_anchor_level == "eop_matrix":
+                return self.eop_matrix_loss(eop_feats, seg_ids)
+            return self.eop_list_loss(eop_feats, seg_ids)
+
+    class TorchTopicSegOracle(nn.Module):
+        """bert_for_ts.py:19-113 + loss_calculator.py:11-73 semantics over
+        this framework's (B, 2, ...) paired-batch layout."""
+
+        def __init__(self, model_dir: str, hp: HP, sampling_seed: int = 0):
+            super().__init__()
+            self.hp = hp
+            self.bert = BertModel.from_pretrained(model_dir)
+            h = self.bert.config.hidden_size
+            self.dropout = nn.Dropout(hp.dropout)
+            self.classifier = nn.Linear(h, 2)
+            self.tssp_classifier = nn.Linear(h, 3)
+            self.cssl = OracleCSSL(hp, random.Random(sampling_seed))
+
+        def _ts_loss(self, logits, labels):
+            # utils.py:173-182 loss factory
+            weight = None
+            if self.hp.weight_label_zero != 0.5:
+                weight = torch.tensor(
+                    [self.hp.weight_label_zero, 1 - self.hp.weight_label_zero]
+                )
+            if self.hp.focal_loss_gamma != 0:
+                ce = F.cross_entropy(
+                    logits.reshape(-1, 2), labels.reshape(-1), weight=weight,
+                    ignore_index=IGNORE, reduction="none",
+                )
+                tgt = labels.reshape(-1).clamp(min=0)
+                p = F.softmax(logits.reshape(-1, 2), -1).gather(1, tgt[:, None])[:, 0]
+                return ((1 - p) ** self.hp.focal_loss_gamma * ce).mean()
+            return F.cross_entropy(
+                logits.reshape(-1, 2), labels.reshape(-1), weight=weight,
+                ignore_index=IGNORE,
+            )
+
+        def encode(self, batch, view: int):
+            out = self.bert(
+                input_ids=batch["input_ids"][:, view],
+                attention_mask=batch["attention_mask"][:, view],
+                token_type_ids=batch["token_type_ids"][:, view],
+            ).last_hidden_state
+            return self.dropout(out)
+
+        def forward(self, batch):
+            hp = self.hp
+            anchor = self.encode(batch, 0)
+            anchor_labels = batch["labels"][:, 0]
+            logits = self.classifier(anchor)
+            loss = hp.ts_loss_weight * self._ts_loss(logits, anchor_labels)
+
+            if hp.cl_loss_weight != 0:
+                cl = self.cssl(anchor, anchor_labels)
+                if cl is not None:
+                    loss = loss + hp.cl_loss_weight * cl
+
+            # DA view: ts loss again + TSSP (bert_for_ts.py:98-109)
+            da = self.encode(batch, 1)
+            da_labels = batch["labels"][:, 1]
+            da_logits = self.classifier(da)
+            loss = loss + hp.ts_loss_weight * self._ts_loss(da_logits, da_labels)
+
+            if hp.tssp_loss_weight != 0:
+                # tssp.py:16-36: sentence features at every BOS, CE on the
+                # pair-order labels (we carry them per sentence, not per
+                # token — same values, gather- instead of mask-indexed)
+                sp = batch["sent_positions"][:, 1]
+                sm = batch["sent_mask"][:, 1].bool()
+                po = batch["pair_orders"][:, 1]
+                valid = sm & (po != IGNORE)
+                if valid.any():
+                    b_idx = torch.arange(sp.shape[0])[:, None].expand_as(sp)
+                    feats = da[b_idx[valid], sp[valid]]
+                    tssp_logits = self.tssp_classifier(feats)
+                    tssp = F.cross_entropy(tssp_logits, po[valid].long())
+                    loss = loss + hp.tssp_loss_weight * tssp
+            return loss
+
+    return TorchTopicSegOracle
+
+
+# --------------------------------------------------------------------------
+# torch training + eval loop (minimal HF-Trainer equivalent)
+# --------------------------------------------------------------------------
+
+
+def evaluate_torch(oracle, eval_docs, wcfg):
+    """Mirrors TopicSegTrainer.evaluate (train/trainer.py) exactly: window
+    every doc, forward, live-label window predictions, boundary_prf +
+    compute_window_metric."""
+    import torch
+
+    from spokennlp_tpu.data.windowing import stack_windows, window_document
+    from spokennlp_tpu.eval import seg_metrics
+
+    windows = []
+    for eid, doc in enumerate(eval_docs):
+        windows.extend(
+            window_document(doc["sent_token_ids"], doc["labels"], wcfg, eid)
+        )
+    batch = stack_windows(windows)
+    oracle.eval()
+    logits_all = []
+    with torch.no_grad():
+        for s in range(0, batch["input_ids"].shape[0], 32):
+            out = oracle.bert(
+                input_ids=torch.from_numpy(batch["input_ids"][s : s + 32]).long(),
+                attention_mask=torch.from_numpy(
+                    batch["attention_mask"][s : s + 32]
+                ).long(),
+                token_type_ids=torch.from_numpy(
+                    batch["token_type_ids"][s : s + 32]
+                ).long(),
+            ).last_hidden_state
+            logits_all.append(oracle.classifier(out).numpy())
+    logits = np.concatenate(logits_all, axis=0)
+
+    preds, refs = [], []
+    for i in range(len(windows)):
+        live = batch["labels"][i] != IGNORE
+        if live.any():
+            preds.append(np.argmax(logits[i][live], -1).tolist())
+            refs.append(batch["labels"][i][live].tolist())
+    prf = seg_metrics.boundary_prf(preds, refs)
+    wm = seg_metrics.compute_window_metric(
+        [[1 if v == 0 else 0 for v in p] for p in preds],
+        [[1 if v == 0 else 0 for v in r] for r in refs],
+    )
+    return {
+        "f1": prf["overall_f1"],
+        "precision": prf["overall_precision"],
+        "recall": prf["overall_recall"],
+        "pk": wm["pk"],
+        "wd": wm["wd"],
+    }
+
+
+def run_torch(assets, hp: HP):
+    import torch
+
+    from spokennlp_tpu.configs import TopicSegConfig, WindowingConfig
+    from spokennlp_tpu.data.corpora import load_dataset_splits, tokenize_examples
+    from spokennlp_tpu.data.featurization import batches_from_docs, featurize_paired
+    from transformers import BertTokenizer
+
+    torch.manual_seed(hp.seed)
+    tok = BertTokenizer.from_pretrained(assets["model_dir"])
+    tokenize_fn = lambda s: tok(s, add_special_tokens=False)["input_ids"]
+    splits = load_dataset_splits("wiki_section", assets["data_dir"])
+    train_docs = tokenize_examples(splits["train"], tokenize_fn)
+    eval_docs = tokenize_examples(splits["validation"], tokenize_fn)
+
+    vocab = tok.get_vocab()
+    wcfg = WindowingConfig(
+        max_seq_length=hp.max_seq_length,
+        cls_token_id=vocab["[CLS]"],
+        pad_token_id=vocab["[PAD]"],
+        bos_token_id=vocab["[BOS]"],
+    )
+    task_cfg = TopicSegConfig(
+        ts_loss_weight=hp.ts_loss_weight,
+        cl_loss_weight=hp.cl_loss_weight,
+        tssp_loss_weight=hp.tssp_loss_weight,
+        cl_temp=hp.cl_temp,
+        cl_anchor_level=hp.cl_anchor_level,
+        cl_positive_k=hp.cl_positive_k,
+        cl_negative_k=hp.cl_negative_k,
+        weight_label_zero=hp.weight_label_zero,
+        focal_loss_gamma=hp.focal_loss_gamma,
+        do_da_ts=True,
+        do_tssp=True,
+    )
+
+    Oracle = _torch_oracle_classes()
+    oracle = Oracle(assets["model_dir"], hp, sampling_seed=hp.seed)
+
+    # HF Trainer optimization defaults: AdamW, no decay on bias/LayerNorm,
+    # linear decay to zero, grad clip 1.0
+    decay, no_decay = [], []
+    for n, p in oracle.named_parameters():
+        (no_decay if ("bias" in n or "LayerNorm" in n) else decay).append(p)
+    opt = torch.optim.AdamW(
+        [
+            {"params": decay, "weight_decay": hp.weight_decay},
+            {"params": no_decay, "weight_decay": 0.0},
+        ],
+        lr=hp.learning_rate, betas=(0.9, 0.999), eps=1e-8,
+    )
+    data_rng = np.random.default_rng(hp.seed)
+    n_windows = len(
+        featurize_paired(train_docs, wcfg, np.random.default_rng(hp.seed))
+    )
+    steps_per_epoch = max(n_windows // hp.batch_size, 1)
+    total_steps = max(int(steps_per_epoch * hp.epochs), 1)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda s: max(0.0, 1.0 - s / total_steps)
+    )
+
+    step = 0
+    oracle.train()
+    while step < total_steps:
+        for batch_np in batches_from_docs(
+            train_docs, wcfg, task_cfg, hp.batch_size, data_rng, drop_last=False
+        ):
+            batch = {
+                k: torch.from_numpy(np.asarray(v)).long()
+                for k, v in batch_np.items()
+                if not k.startswith("cssl_")
+            }
+            loss = oracle(batch)
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(oracle.parameters(), 1.0)
+            opt.step()
+            sched.step()
+            step += 1
+            if step >= total_steps:
+                break
+
+    metrics = evaluate_torch(oracle, eval_docs, wcfg)
+    metrics["train_steps"] = step
+    return metrics
+
+
+# --------------------------------------------------------------------------
+# JAX side — through the real CLI
+# --------------------------------------------------------------------------
+
+
+def run_jax(assets, hp: HP):
+    import jax
+
+    from spokennlp_tpu.cli import run_finetune
+
+    n_dev = jax.device_count()
+    per_device = max(1, hp.batch_size // n_dev)
+    out_dir = os.path.join(assets["workdir"], "jax_out")
+    argv = [
+        "--model_name_or_path", assets["model_dir"],
+        "--dataset_name", "wiki_section",
+        "--data_dir", assets["data_dir"],
+        "--output_dir", out_dir,
+        "--do_train", "--do_eval",
+        "--max_seq_length", str(hp.max_seq_length),
+        "--learning_rate", str(hp.learning_rate),
+        "--num_train_epochs", str(hp.epochs),
+        "--per_device_train_batch_size", str(per_device),
+        "--gradient_accumulation_steps", "1",
+        "--weight_decay", str(hp.weight_decay),
+        "--seed", str(hp.seed),
+        "--ts_loss_weight", str(hp.ts_loss_weight),
+        "--tssp_loss_weight", str(hp.tssp_loss_weight),
+        "--cl_loss_weight", str(hp.cl_loss_weight),
+        "--cl_temp", str(hp.cl_temp),
+        "--cl_anchor_level", hp.cl_anchor_level,
+        "--cl_positive_k", str(hp.cl_positive_k),
+        "--cl_negative_k", str(hp.cl_negative_k),
+        "--weight_label_zero", str(hp.weight_label_zero),
+        "--focal_loss_gamma", str(hp.focal_loss_gamma),
+        "--do_da_ts", "--do_tssp",
+        "--dtype", "float32",
+    ]
+    res = run_finetune.main(argv)
+    return {
+        "f1": res["eval_f1"],
+        "precision": res["eval_precision"],
+        "recall": res["eval_recall"],
+        "pk": res["eval_pk"],
+        "wd": res["eval_wd"],
+        "train_steps": res.get("train_steps"),
+    }
+
+
+def check_tokenizer_parity(assets):
+    """The two WordPiece implementations must agree on the corpus."""
+    from transformers import BertTokenizer
+
+    from spokennlp_tpu.utils.tokenization import FullTokenizer
+
+    hf = BertTokenizer.from_pretrained(assets["model_dir"])
+    own = FullTokenizer.from_vocab_file(assets["vocab"])
+    probe = [
+        f"{OPENER} t0w1 t0w2 {CLOSER}",
+        "t3w0 t3w9 t3w5",
+        "unknownword t1w1",
+    ]
+    for s in probe:
+        a = hf(s, add_special_tokens=False)["input_ids"]
+        b = own.encode(s)
+        assert a == b, f"tokenizer mismatch on {s!r}: {a} vs {b}"
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+
+def run_parity(workdir: str, hp: HP, gate: float = 0.2):
+    assets = build_assets(workdir, seed=0)
+    check_tokenizer_parity(assets)
+    torch_metrics = run_torch(assets, hp)
+    jax_metrics = run_jax(assets, hp)
+    deltas = {
+        k: abs(jax_metrics[k] - torch_metrics[k])
+        for k in ("f1", "pk", "wd")
+    }
+    result = {
+        "hp": dataclasses.asdict(hp),
+        "torch": torch_metrics,
+        "jax": jax_metrics,
+        "abs_delta": deltas,
+        "gate": gate,
+        "pass": bool(deltas["pk"] <= gate and deltas["wd"] <= gate),
+    }
+    out = os.path.join(workdir, "parity_results.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2, default=float)
+    print(json.dumps(result, indent=2, default=float))
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--epochs", type=float, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--gate", type=float, default=0.2)
+    p.add_argument("--allow_tpu", action="store_true",
+                   help="don't force the CPU backend (torch side is CPU "
+                   "either way; comparison is then cross-device)")
+    args = p.parse_args()
+    if not args.allow_tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    hp = HP()
+    if args.epochs is not None:
+        hp = dataclasses.replace(hp, epochs=args.epochs)
+    if args.lr is not None:
+        hp = dataclasses.replace(hp, learning_rate=args.lr)
+    result = run_parity(args.workdir, hp, args.gate)
+    sys.exit(0 if result["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
