@@ -86,6 +86,18 @@ class EncoderConfig:
     bigbird_impl: str = "auto"  # auto | bias | block | fused
     # ponet
     ponet_local_window: int = 3
+    # GA granularity: the official/ModelScope PoNet computes the global-
+    # aggregation attention PER HEAD (transpose_for_scores on dense_q/k/o,
+    # einsum 'bdh,bdlh->bdl' with 1/sqrt(head_size) scaling); the paper-level
+    # single-head formulation (this repo's original) is the False default.
+    # Checkpoint conversion (hf_convert.ponet_to_encoder_params) sets True.
+    ponet_ga_per_head: bool = False
+    # GA cross-fusion partner: the shared global token g' multiplies
+    # elementwise with this per-token projection ("q" per the paper's
+    # formulation; "v" = the dense_o projection is the documented
+    # alternative if checkpoint probing shows otherwise — offline-unresolved
+    # ambiguity, see models/ponet.py docstring)
+    ponet_ga_fuse: str = "q"
     # PoNet mixer path: "auto"/"xla" = the XLA formulation (measured fastest
     # at PoNet scale); "fused" = the one-kernel Pallas block (opt-in; its
     # segmented-scan rolls are slower at L=4096 — see ROUND1_NOTES.md)

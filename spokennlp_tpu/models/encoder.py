@@ -37,7 +37,10 @@ from spokennlp_tpu.ops.sliding_attention import sliding_window_attention_mask_bi
 Array = jax.Array
 
 ACT2FN = {
-    "gelu": nn.gelu,
+    # HF semantics: "gelu" is the exact erf form (transformers ACT2FN);
+    # flax's nn.gelu defaults to the tanh approximation, so be explicit —
+    # the fused MLP kernel (ops/pallas/mlp_block.py) also uses exact gelu
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "gelu_new": lambda x: nn.gelu(x, approximate=True),
     "relu": nn.relu,
     "silu": nn.silu,

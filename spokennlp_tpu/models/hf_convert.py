@@ -208,6 +208,164 @@ def extend_position_embeddings(
     return params
 
 
+def ponet_to_encoder_params(
+    sd: Dict[str, np.ndarray], cfg: EncoderConfig, prefix: str = "ponet."
+) -> Dict:
+    """Map a ModelScope/official PoNet state dict onto the PoNetEncoder tree.
+
+    The reference loads PoNet from ModelScope (alimeeting4mug/src/models/
+    modeling_ponet.py:28,41 — ``self.ponet = PoNetModel(config)``; the
+    implementation itself is NOT in the reference repo). The official PoNet
+    code keeps BERT's module layout with the attention replaced by five
+    projections::
+
+        {prefix}embeddings.{word,position,token_type}_embeddings.weight
+        {prefix}embeddings.LayerNorm.{weight,bias}
+        {prefix}encoder.layer.N.attention.self.dense_q.{weight,bias}   -> mixer q
+        {prefix}encoder.layer.N.attention.self.dense_k.{weight,bias}   -> mixer k
+        {prefix}encoder.layer.N.attention.self.dense_o.{weight,bias}   -> mixer v
+                                                       (GA's value projection)
+        {prefix}encoder.layer.N.attention.self.dense_segment.*         -> mixer s
+        {prefix}encoder.layer.N.attention.self.dense_local.*           -> mixer l
+        {prefix}encoder.layer.N.attention.output.dense.*               -> mixer out
+        {prefix}encoder.layer.N.attention.output.LayerNorm.*           -> mixer_ln
+        {prefix}encoder.layer.N.intermediate.dense.*                   -> mlp_in
+        {prefix}encoder.layer.N.output.dense.*                         -> mlp_out
+        {prefix}encoder.layer.N.output.LayerNorm.*                     -> mlp_ln
+        {prefix}pooler.dense.*                                         -> pooler
+
+    Pair with ``dataclasses.replace(cfg, ponet_ga_per_head=True)`` — the
+    official GA runs per attention head. Verified structurally (mapping +
+    transposes) against a torch re-implementation of this layout in
+    tests/test_ponet_convert.py; remaining semantic ambiguities are
+    documented in models/ponet.py.
+    """
+    p = prefix
+    params: Dict = {
+        "embeddings": {
+            "word_embeddings": {
+                "embedding": sd[p + "embeddings.word_embeddings.weight"]
+            },
+            "position_embeddings": {
+                "embedding": sd[p + "embeddings.position_embeddings.weight"]
+            },
+            "token_type_embeddings": {
+                "embedding": sd[p + "embeddings.token_type_embeddings.weight"]
+            },
+            "LayerNorm": _layernorm(sd, p + "embeddings.LayerNorm"),
+        }
+    }
+    mixer_map = {
+        "q": "dense_q",
+        "k": "dense_k",
+        "v": "dense_o",
+        "s": "dense_segment",
+        "l": "dense_local",
+    }
+    for i in range(cfg.num_layers):
+        lp = f"{p}encoder.layer.{i}."
+        mixer = {
+            ours: _linear(sd, lp + "attention.self." + theirs)
+            for ours, theirs in mixer_map.items()
+        }
+        mixer["out"] = _linear(sd, lp + "attention.output.dense")
+        params[f"layer_{i}"] = {
+            "mixer": mixer,
+            "mixer_ln": _layernorm(sd, lp + "attention.output.LayerNorm"),
+            "mlp_in": _linear(sd, lp + "intermediate.dense"),
+            "mlp_out": _linear(sd, lp + "output.dense"),
+            "mlp_ln": _layernorm(sd, lp + "output.LayerNorm"),
+        }
+    if cfg.add_pooler and (p + "pooler.dense.weight") in sd:
+        params["pooler"] = _linear(sd, p + "pooler.dense")
+    return params
+
+
+def ponet_config_to_encoder_config(hf_config, **overrides) -> EncoderConfig:
+    """Translate a (ModelScope) PoNet config object / dict.
+
+    Accepts anything exposing BERT-style config attrs (the ModelScope PoNet
+    config keeps them: modeling_ponet.py:34-119 operates on config.hidden_size
+    / num_labels etc.)."""
+    get = (
+        hf_config.get
+        if isinstance(hf_config, dict)
+        else lambda k, d=None: getattr(hf_config, k, d)
+    )
+    kwargs = dict(
+        vocab_size=get("vocab_size"),
+        hidden_size=get("hidden_size"),
+        num_layers=get("num_hidden_layers"),
+        num_heads=get("num_attention_heads"),
+        intermediate_size=get("intermediate_size"),
+        max_position_embeddings=get("max_position_embeddings"),
+        type_vocab_size=get("type_vocab_size", 2),
+        layer_norm_eps=get("layer_norm_eps", 1e-12),
+        hidden_dropout=get("hidden_dropout_prob", 0.1),
+        attention_dropout=get("attention_probs_dropout_prob", 0.1),
+        hidden_act=get("hidden_act", "gelu"),
+        pad_token_id=get("pad_token_id", 0) or 0,
+        attention_type="ponet",
+        ponet_ga_per_head=True,
+        ponet_local_window=get("local_window_size", 3) or 3,
+    )
+    kwargs.update(overrides)
+    return EncoderConfig(**kwargs)
+
+
+def palm_to_params(
+    sd: Dict[str, np.ndarray],
+    enc_cfg: EncoderConfig,
+    num_decoder_layers: int,
+    prefix: str = "palm.",
+) -> Dict:
+    """Map a ModelScope palm_v2 state dict onto the PalmModel param tree.
+
+    Layout (the public PreSumm/OpenNMT stack the ModelScope port keeps; see
+    models/palm.py docstring for the offline caveat):
+
+        {prefix}encoder.*                              BertModel names
+        {prefix}decoder.embeddings.weight              target embeddings
+        {prefix}decoder.transformer_layers.N.
+            self_attn.{linear_query,linear_keys,linear_values,final_linear}
+            context_attn.{...same four...}
+            layer_norm_1 / layer_norm_2
+            feed_forward.{w_1,w_2,layer_norm}
+        {prefix}decoder.layer_norm                     final decoder LN
+        generator.linear / generator.linear_copy       CopyGenerator
+        (plain generator fallback: generator.0.weight  nn.Sequential form)
+    """
+    p = prefix
+    params: Dict = {
+        "encoder": bert_to_encoder_params(sd, enc_cfg, p + "encoder."),
+        "dec_embed": {"embedding": sd[p + "decoder.embeddings.weight"]},
+        "decoder_ln": _layernorm(sd, p + "decoder.layer_norm"),
+    }
+    for i in range(num_decoder_layers):
+        lp = f"{p}decoder.transformer_layers.{i}."
+        layer = {}
+        for attn in ("self_attn", "context_attn"):
+            for theirs, ours in (
+                ("linear_query", "query"),
+                ("linear_keys", "keys"),
+                ("linear_values", "values"),
+                ("final_linear", "final"),
+            ):
+                layer[f"{attn}_{ours}"] = _linear(sd, lp + f"{attn}.{theirs}")
+        layer["layer_norm_1"] = _layernorm(sd, lp + "layer_norm_1")
+        layer["layer_norm_2"] = _layernorm(sd, lp + "layer_norm_2")
+        layer["ff_layer_norm"] = _layernorm(sd, lp + "feed_forward.layer_norm")
+        layer["w_1"] = _linear(sd, lp + "feed_forward.w_1")
+        layer["w_2"] = _linear(sd, lp + "feed_forward.w_2")
+        params[f"decoder_layer_{i}"] = layer
+    if "generator.linear.weight" in sd:  # CopyGenerator
+        params["generator"] = _linear(sd, "generator.linear")
+        params["linear_copy"] = _linear(sd, "generator.linear_copy")
+    elif "generator.0.weight" in sd:  # plain nn.Sequential(Linear, LogSoftmax)
+        params["generator"] = _linear(sd, "generator.0")
+    return params
+
+
 def hf_bert_config_to_encoder_config(hf_config, **overrides) -> EncoderConfig:
     """Translate a transformers BertConfig into an EncoderConfig."""
     kwargs = dict(

@@ -161,7 +161,7 @@ class DenseSelfAttentionLayer(nn.Module):
         attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attn_ln")(x + attn)
         mlp = nn.Dense(c.intermediate_size, dtype=self.dtype, name="mlp_in")(x)
-        mlp = nn.gelu(mlp)
+        mlp = nn.gelu(mlp, approximate=False)
         mlp = nn.Dense(H, dtype=self.dtype, name="mlp_out")(mlp)
         mlp = nn.Dropout(c.hidden_dropout)(mlp, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="mlp_ln")(x + mlp)
@@ -197,7 +197,7 @@ class CrossAttentionLayer(nn.Module):
         attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attn_ln")(x + attn)
         mlp = nn.Dense(c.intermediate_size, dtype=self.dtype, name="mlp_in")(x)
-        mlp = nn.gelu(mlp)
+        mlp = nn.gelu(mlp, approximate=False)
         mlp = nn.Dense(H, dtype=self.dtype, name="mlp_out")(mlp)
         mlp = nn.Dropout(c.hidden_dropout)(mlp, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="mlp_ln")(x + mlp)
@@ -233,7 +233,7 @@ class MoELayer(nn.Module):
             "w_out", nn.initializers.normal(0.02), (E, c.intermediate_size, H)
         )
         hidden = jnp.einsum("blh,ehi->blei", x.astype(jnp.float32), w_in)
-        hidden = nn.gelu(hidden)
+        hidden = nn.gelu(hidden, approximate=False)
         expert_out = jnp.einsum("blei,eih->bleh", hidden, w_out)
         y = jnp.einsum("bleh,ble->blh", expert_out, dense_gates).astype(x.dtype)
 

@@ -27,10 +27,26 @@ TPU notes: SMP uses jax.ops.segment_max vmapped over the batch (scatter-max;
 a Pallas kernel is the planned upgrade), LMP is lax.reduce_window, GA is two
 tiny matmuls — everything is O(N * d) with static shapes.
 
-NOTE on fidelity: the ModelScope checkpoint's exact layer layout cannot be
-verified offline (zero egress); the mixer follows the paper spec and the
-wrapper's tensor contract. Checkpoint conversion hooks live in hf_convert
-style and can be completed once weights are reachable.
+Checkpoint conversion: ``hf_convert.ponet_to_encoder_params`` maps the
+ModelScope/official PoNet state-dict layout (BERT block naming with five
+mixer projections ``attention.self.dense_{q,k,o,segment,local}`` + the
+BERT-style ``attention.output.dense/LayerNorm`` and MLP blocks) onto this
+trunk; conversion sets ``ponet_ga_per_head=True`` (the official code runs GA
+per attention head via transpose_for_scores, scale 1/sqrt(head_size)).
+
+NOTE on fidelity (documented offline-unresolved ambiguities; zero egress, so
+the ModelScope source/weights cannot be consulted — resolve by probing a real
+checkpoint when network exists):
+  1. GA cross-fusion partner: g' is fused elementwise with the q-projection
+     (``ponet_ga_fuse="q"``, the paper's formulation); if the checkpoint's
+     code fuses with the dense_o/value projection instead, set
+     ``ponet_ga_fuse="v"``.
+  2. Branch combination is GA + SMP + LMP (paper Fig. 2 summation).
+  3. SMP uses the second-max trick (paper's MLM-leakage fix); singleton
+     segments fall back to the max.
+The structural self-test (tests/test_ponet_convert.py) pins the conversion
+mapping against a torch re-implementation of the same documented layout, so
+any future fix to 1-3 is a one-flag/one-line change, not a remap.
 """
 
 from __future__ import annotations
@@ -170,18 +186,44 @@ class PoNetMixer(nn.Module):
         maskc = attention_mask.astype(self.dtype)[..., None]
 
         # --- GA: masked mean query + one-query attention
+        fuse_src = q if cfg.ponet_ga_fuse == "q" else v
         denom = jnp.maximum(
             attention_mask.astype(jnp.float32).sum(axis=1, keepdims=True), 1.0
         )  # (B, 1)
-        g = ((q * maskc).sum(axis=1, dtype=jnp.float32) / denom).astype(self.dtype)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim * cfg.num_heads, jnp.float32))
-        att = (k * g[:, None, :]).sum(-1, dtype=jnp.float32)  # (B, L)
-        att = att * scale + (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
-        w = jax.nn.softmax(att, axis=-1).astype(self.dtype)
-        g_prime = (
-            (w[:, :, None] * v).sum(axis=1, dtype=jnp.float32).astype(self.dtype)
-        )  # (B, H)
-        ga = g_prime[:, None, :] * q  # cross fusion
+        if cfg.ponet_ga_per_head:
+            # official/ModelScope formulation: nh independent one-query
+            # attentions over (L, head_dim) slices, scale 1/sqrt(head_dim)
+            nh, hd = cfg.num_heads, cfg.head_dim
+            qh = q.reshape(B, L, nh, hd)
+            kh = k.reshape(B, L, nh, hd)
+            vh = v.reshape(B, L, nh, hd)
+            gh = (qh * maskc[..., None]).sum(axis=1, dtype=jnp.float32) / denom[
+                ..., None
+            ]  # (B, nh, hd)
+            gh = gh.astype(self.dtype)
+            att = jnp.einsum(
+                "bnh,blnh->bln", gh, kh, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            att = att + (1.0 - attention_mask.astype(jnp.float32))[..., None] * NEG_INF
+            w = jax.nn.softmax(att, axis=1).astype(self.dtype)  # over L
+            g_prime = jnp.einsum(
+                "bln,blnh->bnh", w, vh, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+            ga = (
+                g_prime[:, None] * fuse_src.reshape(B, L, nh, hd)
+            ).reshape(B, L, H)
+        else:
+            g = ((q * maskc).sum(axis=1, dtype=jnp.float32) / denom).astype(self.dtype)
+            scale = 1.0 / jnp.sqrt(
+                jnp.asarray(cfg.head_dim * cfg.num_heads, jnp.float32)
+            )
+            att = (k * g[:, None, :]).sum(-1, dtype=jnp.float32)  # (B, L)
+            att = att * scale + (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
+            w = jax.nn.softmax(att, axis=-1).astype(self.dtype)
+            g_prime = (
+                (w[:, :, None] * v).sum(axis=1, dtype=jnp.float32).astype(self.dtype)
+            )  # (B, H)
+            ga = g_prime[:, None, :] * fuse_src  # cross fusion
 
         # --- SMP: per-segment channel max with second-max trick
         # segments are 1-based from the featurizer; pad tokens forced to 0
@@ -216,7 +258,12 @@ class PoNetLayer(nn.Module):
         # SLOWER at PoNet scale (44.9 vs 97.6 seqs/s at L=4096/B=8) — the
         # segmented scan's dynamic sublane rolls dominate. Kept opt-in
         # ("fused") as a correct, oracle-tested formulation.
-        use_fused = cfg.ponet_mixer_impl == "fused" and deterministic
+        # (the fused kernel implements the single-head GA formulation only)
+        use_fused = (
+            cfg.ponet_mixer_impl == "fused"
+            and deterministic
+            and not cfg.ponet_ga_per_head
+        )
         if use_fused:
             ln1 = _LNParams(cfg.hidden_size, name="mixer_ln")()
             hidden = PoNetMixer(cfg, dtype=self.dtype, name="mixer")(

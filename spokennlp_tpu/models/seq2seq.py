@@ -79,7 +79,7 @@ class DecoderLayer(nn.Module):
             x + nn.Dropout(c.dropout)(cross, deterministic=deterministic)
         )
         mlp = nn.Dense(c.intermediate_size, dtype=self.dtype, name="mlp_in")(x)
-        mlp = nn.gelu(mlp)
+        mlp = nn.gelu(mlp, approximate=False)
         mlp = nn.Dense(H, dtype=self.dtype, name="mlp_out")(mlp)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="mlp_ln")(
             x + nn.Dropout(c.dropout)(mlp, deterministic=deterministic)
