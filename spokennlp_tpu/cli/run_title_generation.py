@@ -37,6 +37,19 @@ def main(argv=None):
     p.add_argument("--num_decoder_layers", type=int, default=4)
     p.add_argument("--num_attention_heads", type=int, default=4)
     p.add_argument("--intermediate_size", type=int, default=1024)
+    p.add_argument(
+        "--model_arch", default="seq2seq", choices=["seq2seq", "palm"],
+        help="palm = the PALM 2.0 architecture (pre-norm OpenNMT decoder + "
+        "pointer-generator, models/palm.py) the reference baseline uses "
+        "(palm_subtitle_generation.py:371-396); seq2seq = the compact "
+        "post-norm encoder-decoder",
+    )
+    p.add_argument(
+        "--palm_checkpoint", default=None,
+        help="path to a ModelScope palm_v2 torch checkpoint "
+        "(pytorch_model.bin or dir containing it) converted via "
+        "hf_convert.palm_to_params",
+    )
     args = p.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -158,7 +171,27 @@ def main(argv=None):
         max_target_length=T, bos_token_id=bos_id, eos_token_id=eos_id,
         pad_token_id=pad_id,
     )
-    model = Seq2SeqModel(enc_cfg, s2s_cfg)
+    if args.model_arch == "palm":
+        from spokennlp_tpu.models.palm import (
+            PalmConfig,
+            PalmModel,
+            palm_beam_decode,
+            palm_loss,
+        )
+
+        palm_cfg = PalmConfig(
+            vocab_size=vocab_size, hidden_size=args.hidden_size,
+            num_decoder_layers=args.num_decoder_layers,
+            num_heads=args.num_attention_heads,
+            intermediate_size=args.intermediate_size,
+            max_target_length=T, bos_token_id=bos_id, eos_token_id=eos_id,
+            pad_token_id=pad_id,
+        )
+        model = PalmModel(enc_cfg, palm_cfg)
+        loss_fn_impl, decode_fn_impl = palm_loss, palm_beam_decode
+    else:
+        model = Seq2SeqModel(enc_cfg, s2s_cfg)
+        loss_fn_impl, decode_fn_impl = seq2seq_loss, beam_decode
     feats = featurize(train_pairs)
     params = model.init(
         jax.random.PRNGKey(args.seed),
@@ -166,6 +199,22 @@ def main(argv=None):
         jnp.asarray(feats["attention_mask"][:1]),
         jnp.asarray(feats["decoder_input_ids"][:1]),
     )["params"]
+    if args.model_arch == "palm" and args.palm_checkpoint:
+        import torch as _torch
+
+        from spokennlp_tpu.models import hf_convert
+
+        ckpt = args.palm_checkpoint
+        if os.path.isdir(ckpt):
+            ckpt = os.path.join(ckpt, "pytorch_model.bin")
+        sd = {
+            k: v.numpy()
+            for k, v in _torch.load(ckpt, map_location="cpu").items()
+        }
+        params = hf_convert.palm_to_params(
+            sd, enc_cfg, args.num_decoder_layers
+        )
+        print(f"loaded PALM checkpoint from {ckpt}")
 
     # noam LR, the PALM recipe (palm_subtitle_generation.py:326)
     tx = optax.adam(
@@ -178,7 +227,7 @@ def main(argv=None):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
-            return seq2seq_loss(model, p, batch, rng=rng, deterministic=False)
+            return loss_fn_impl(model, p, batch, rng=rng, deterministic=False)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         up, opt = tx.update(grads, state.opt_state, state.params)
@@ -200,7 +249,7 @@ def main(argv=None):
         for s in range(0, len(eval_pairs), bs):
             e = min(s + bs, len(eval_pairs))
             sl = slice(s, e)
-            gen = beam_decode(
+            gen = decode_fn_impl(
                 model, params,
                 jnp.asarray(efeats["input_ids"][sl]),
                 jnp.asarray(efeats["attention_mask"][sl]),
