@@ -24,6 +24,13 @@ def main(argv=None):
     p.add_argument("--layer", type=int, default=None)
     p.add_argument("--head", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--classifier", default="logreg", choices=["logreg", "mlp"],
+                   help="transfer-task probe: logreg = fast sklearn; mlp = the "
+                   "SentEval pytorch-classifier protocol (adam, tenacity-5 "
+                   "early stop, l2 grid; published-comparable numbers)")
+    p.add_argument("--mlp_nhid", type=int, default=0,
+                   help="hidden units for --classifier mlp (0 = logistic "
+                   "regression, the Ditto protocol)")
     p.add_argument("--max_seq_length", type=int, default=128)
     p.add_argument("--sts_tsv", nargs="*", default=[],
                    help="STS tsv files: sent1\\tsent2\\tscore")
@@ -121,7 +128,8 @@ def main(argv=None):
                 tdir = args.transfer_dir
             tasks[t] = D.load_senteval_classification(tdir, t)
         results["transfer"] = D.evaluate_transfer_classification(
-            embed_fn, batch_tokenize, tasks, batch_size=args.batch_size
+            embed_fn, batch_tokenize, tasks, batch_size=args.batch_size,
+            classifier=args.classifier, mlp_nhid=args.mlp_nhid,
         )
 
     # ---------------- linguistic probing tasks (tr/va/te single files)
@@ -131,7 +139,8 @@ def main(argv=None):
             for f in args.probing_files
         }
         results["probing"] = D.evaluate_transfer_classification(
-            embed_fn, batch_tokenize, tasks, batch_size=args.batch_size
+            embed_fn, batch_tokenize, tasks, batch_size=args.batch_size,
+            classifier=args.classifier, mlp_nhid=args.mlp_nhid,
         )
 
     # ---------------- STS-B/SICK relatedness regression
