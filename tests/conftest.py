@@ -19,4 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RUN_TPU_TESTS=1 keeps the real backend so the `-m tpu` kernel-parity tests
+# (tests/test_tpu_kernel_parity.py) can exercise Mosaic on the chip:
+#   RUN_TPU_TESTS=1 python -m pytest tests/ -m tpu
+if not os.environ.get("RUN_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")

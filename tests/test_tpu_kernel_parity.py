@@ -1,0 +1,146 @@
+"""On-chip kernel parity, gated behind ``-m tpu`` (VERDICT r2 item 5).
+
+Promotes the argmax-parity checks that lived in scratch/exp_*.py into the
+suite: every fused Pallas serving path is compared against its XLA oracle at
+REAL shapes on the real chip. Run with:
+
+    RUN_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+(the conftest forces CPU otherwise; these tests skip when no TPU backend is
+present). Budget: the whole file compiles+runs in under ~5 min warm.
+
+Gates (from the round-2 measured state, ROUND1_NOTES.md): argmax agreement
+>= 0.999 at live-label positions and mean |dlogit| <= 0.1 for W8A8 vs bf16
+einsum; the B<=32 stack megakernel must match the per-layer fused path
+bit-for-bit in quantized mode.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spokennlp_tpu.configs import EncoderConfig, TopicSegConfig
+from spokennlp_tpu.models.topic_seg import TopicSegModel
+
+ON_TPU = jax.default_backend() in ("tpu", "axon")
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        not (ON_TPU and os.environ.get("RUN_TPU_TESTS")),
+        reason="needs the real TPU chip (RUN_TPU_TESTS=1, -m tpu)",
+    ),
+]
+
+
+def _build(attention_type, L, *, quantize="none", attention_impl="auto",
+           sliding_window_impl="auto", bigbird_impl="auto", window=512):
+    enc = EncoderConfig(
+        vocab_size=30522, hidden_size=768, num_layers=12, num_heads=12,
+        intermediate_size=3072, max_position_embeddings=L, add_pooler=False,
+        attention_type=attention_type, attention_window=window,
+        max_global_tokens=16, softmax_in_compute_dtype=True,
+        quantize=quantize, attention_impl=attention_impl,
+        sliding_window_impl=sliding_window_impl, bigbird_impl=bigbird_impl,
+    )
+    return TopicSegModel(enc, TopicSegConfig(), dtype=jnp.bfloat16)
+
+
+def _inputs(B, L, seed=0, ragged=True):
+    rng = np.random.default_rng(seed)
+    ids = np.asarray(rng.integers(1000, 30000, size=(B, L)), np.int32)
+    mask = np.ones((B, L), np.int32)
+    if ragged and B >= 2:
+        mask[1, int(L * 0.7):] = 0  # suffix padding (featurizer contract)
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def _logits(model, params, ids, mask):
+    @jax.jit
+    def run(p, i, m):
+        return model.apply(
+            {"params": p}, i, attention_mask=m, deterministic=True
+        )["token_logits"]
+
+    return np.asarray(run(params, ids, mask).astype(jnp.float32))
+
+
+def _assert_parity(a, b, mask, min_agree=0.999, max_mean_dlogit=0.1):
+    valid = np.asarray(mask).astype(bool)
+    agree = float((a.argmax(-1) == b.argmax(-1))[valid].mean())
+    d = np.abs(a - b)[valid]
+    assert agree >= min_agree, f"argmax agreement {agree:.4f}"
+    assert d.mean() <= max_mean_dlogit, f"mean |dlogit| {d.mean():.4f}"
+
+
+def test_dense_fused_w8a8_vs_einsum_bf16_bert_base_512():
+    """The default serving path (fused W8A8 two-kernel layers) vs the bf16
+    einsum oracle at BERT-base 16x512."""
+    B, L = 16, 512
+    ids, mask = _inputs(B, L)
+    ref = _build("dense", L, attention_impl="einsum")
+    params = ref.init(jax.random.PRNGKey(0), ids, attention_mask=mask,
+                      deterministic=True)["params"]
+    fused = _build("dense", L, quantize="w8a8", attention_impl="fused")
+    _assert_parity(
+        _logits(fused, params, ids, mask),
+        _logits(ref, params, ids, mask),
+        mask,
+    )
+
+
+def test_dense_stack_megakernel_matches_fused_small_batch():
+    """B<=32 routes to the whole-stack megakernel; it must be bit-identical
+    to the per-layer fused path in quantized mode (same math, one dispatch)."""
+    B, L = 8, 512
+    ids, mask = _inputs(B, L, seed=1)
+    fused = _build("dense", L, quantize="w8a8", attention_impl="fused")
+    params = fused.init(jax.random.PRNGKey(0), ids, attention_mask=mask,
+                        deterministic=True)["params"]
+    stack = _build("dense", L, quantize="w8a8", attention_impl="stack")
+    a = _logits(stack, params, ids, mask)
+    b = _logits(fused, params, ids, mask)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_longformer_fused_vs_chunked_2048():
+    """Fused sliding-block kernel vs the XLA chunked path (Longformer-base
+    L=2048, window 512, CLS global, odd suffix-padding boundaries)."""
+    B, L = 4, 2048
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1000, 30000, size=(B, L)), jnp.int32)
+    mask = np.ones((B, L), np.int32)
+    mask[1, 1500:] = 0
+    mask[3, 777:] = 0
+    mask = jnp.asarray(mask)
+    ref = _build("sliding_window", L, sliding_window_impl="chunked")
+    params = ref.init(jax.random.PRNGKey(0), ids, attention_mask=mask,
+                      deterministic=True)["params"]
+    fused = _build("sliding_window", L, quantize="w8a8",
+                   sliding_window_impl="fused", attention_impl="fused")
+    _assert_parity(
+        _logits(fused, params, ids, mask),
+        _logits(ref, params, ids, mask),
+        mask,
+    )
+
+
+def test_bigbird_fused_vs_block_4096():
+    """Fused BigBird attention-block kernel vs the XLA gather ("block") path
+    at L=4096 (block 64, 3 random blocks via the static SMEM index table)."""
+    B, L = 2, 4096
+    ids, mask = _inputs(B, L, seed=3)
+    ref = _build("bigbird", L, bigbird_impl="block")
+    params = ref.init(jax.random.PRNGKey(0), ids, attention_mask=mask,
+                      deterministic=True)["params"]
+    fused = _build("bigbird", L, quantize="w8a8", bigbird_impl="fused",
+                   attention_impl="fused")
+    _assert_parity(
+        _logits(fused, params, ids, mask),
+        _logits(ref, params, ids, mask),
+        mask,
+    )
