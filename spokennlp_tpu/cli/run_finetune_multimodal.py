@@ -42,6 +42,12 @@ def main(argv=None):
     g.add_argument("--out_modal_prob", action="store_true",
                    help="with a cat fuse, also emit per-modality logit splits")
     g.add_argument("--cross_moe_share_in_layers", action="store_true")
+    g.add_argument("--moe_impl", default="dense", choices=["dense", "dispatch"],
+                   help="dispatch = GShard-style capacity dispatch (expert-local "
+                   "compute under EP; tokens over capacity drop)")
+    g.add_argument("--moe_capacity_factor", type=float, default=1.25)
+    g.add_argument("--moe_num_experts", type=int, default=4)
+    g.add_argument("--moe_top_k", type=int, default=2)
     g.add_argument("--no_cross_moe_residual", action="store_true")
     g.add_argument("--predictor_type", default="linear",
                    choices=["linear", "transformer", "hybrid"])
@@ -108,6 +114,10 @@ def main(argv=None):
         predictor_hybrid_pooling=args.predictor_hybrid_pooling,
         out_modal_prob=args.out_modal_prob,
         moe_share_in_layers=args.cross_moe_share_in_layers,
+        moe_impl=args.moe_impl,
+        moe_capacity_factor=args.moe_capacity_factor,
+        moe_num_experts=args.moe_num_experts,
+        moe_top_k=args.moe_top_k,
         moe_residual=not args.no_cross_moe_residual,
     )
     K = args.max_clips_per_window

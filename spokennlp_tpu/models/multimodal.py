@@ -24,6 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jax.Array
@@ -64,6 +65,15 @@ class MultimodalConfig:
     moe_loss_weight: float = 0.01
     moe_residual: bool = True  # x + moe(x) (reference: cross_moe_residual)
     moe_share_in_layers: bool = False  # one expert bank reused across layers
+    # "dense": every expert runs on every token, gate sparsifies the combine
+    #   (cheapest below ~E=4: one big einsum, no dispatch bookkeeping).
+    # "dispatch": GShard/Switch-style capacity dispatch — expert FLOPs scale
+    #   O(K * capacity_factor * tokens) instead of O(E * tokens), and with
+    #   the expert axis sharded (EP) each device computes only its experts'
+    #   capacity slots. Tokens over capacity are dropped (standard semantics;
+    #   residual keeps them intact when moe_residual=True).
+    moe_impl: str = "dense"  # dense | dispatch
+    moe_capacity_factor: float = 1.25
 
     @property
     def modalities(self) -> Tuple[str, ...]:
@@ -232,10 +242,17 @@ class MoELayer(nn.Module):
         w_out = self.param(
             "w_out", nn.initializers.normal(0.02), (E, c.intermediate_size, H)
         )
-        hidden = jnp.einsum("blh,ehi->blei", x.astype(jnp.float32), w_in)
-        hidden = nn.gelu(hidden, approximate=False)
-        expert_out = jnp.einsum("blei,eih->bleh", hidden, w_out)
-        y = jnp.einsum("bleh,ble->blh", expert_out, dense_gates).astype(x.dtype)
+        if c.moe_impl == "dispatch":
+            y = self._dispatch_forward(
+                x, mask, topi, gates_k, w_in, w_out
+            ).astype(x.dtype)
+        else:
+            hidden = jnp.einsum("blh,ehi->blei", x.astype(jnp.float32), w_in)
+            hidden = nn.gelu(hidden, approximate=False)
+            expert_out = jnp.einsum("blei,eih->bleh", hidden, w_out)
+            y = jnp.einsum("bleh,ble->blh", expert_out, dense_gates).astype(
+                x.dtype
+            )
 
         maskf = mask.astype(jnp.float32)[..., None]
         importance = jnp.sum(dense_gates * maskf, axis=(0, 1))  # (E,)
@@ -247,6 +264,48 @@ class MoELayer(nn.Module):
 
         aux = c.moe_loss_weight * (cv_squared(importance) + cv_squared(load))
         return (x + y if c.moe_residual else y), aux
+
+    def _dispatch_forward(self, x, mask, topi, gates_k, w_in, w_out):
+        """Capacity-based gather/dispatch (GShard expert_utils semantics;
+        the tensor2tensor design the reference README points at).
+
+        All bookkeeping is one-hot matmuls and a single cumsum over a
+        k-major flattening (choice 0 of every token outranks any choice 1 —
+        GShard's priority rule), so the whole path jits with static shapes
+        and the expert einsums carry a leading E axis that EP shards."""
+        c = self.cfg
+        B, L, H = x.shape
+        E, K = c.moe_num_experts, c.moe_top_k
+        N = B * L
+        xf = x.reshape(N, H).astype(jnp.float32)
+        maskf = mask.reshape(N).astype(jnp.float32)
+        topi = topi.reshape(N, K)
+        gates_k = gates_k.reshape(N, K) * maskf[:, None]
+
+        # per-expert capacity (multiple of 8 for TPU-friendly layouts)
+        C = int(np.ceil(N * K / E * c.moe_capacity_factor))
+        C = max(8, int(np.ceil(C / 8)) * 8)
+
+        onehot_e = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # (N, K, E)
+        onehot_e = onehot_e * maskf[:, None, None]
+        # position within the chosen expert, k-major priority
+        flat = onehot_e.transpose(1, 0, 2).reshape(K * N, E)
+        pos_before = jnp.cumsum(flat, axis=0) - flat
+        pos = (
+            pos_before.reshape(K, N, E).transpose(1, 0, 2) * onehot_e
+        ).sum(-1)  # (N, K)
+        keep = (pos < C) & (maskf[:, None] > 0)
+        onehot_c = jax.nn.one_hot(pos, C, dtype=jnp.float32) * keep[..., None]
+
+        dispatch = jnp.einsum("nke,nkc->nec", onehot_e, onehot_c)  # 0/1
+        expert_in = jnp.einsum("nec,nh->ech", dispatch, xf)
+        hidden = nn.gelu(
+            jnp.einsum("ech,ehi->eci", expert_in, w_in), approximate=False
+        )
+        expert_out = jnp.einsum("eci,eih->ech", hidden, w_out)
+        combine = jnp.einsum("nke,nkc,nk->nec", onehot_e, onehot_c, gates_k)
+        y = jnp.einsum("nec,ech->nh", combine, expert_out)
+        return y.reshape(B, L, H)
 
 
 class MergeAttentionEncoder(nn.Module):
