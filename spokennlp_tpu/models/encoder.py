@@ -323,6 +323,46 @@ class SelfAttention(nn.Module):
 
         probs = None
         if (
+            impl == "train_fused"
+            and cfg.attention_type == "dense"
+            and flash_segment_ids is not None
+        ):
+            # TRAINING-path fused attention block with a custom VJP: the
+            # backward recomputes attention flash-style, so the (nh, L, L)
+            # probability tensors are never materialized in HBM in either
+            # pass; attention-prob dropout runs on the in-kernel hardware
+            # PRNG (ops/pallas/train_blocks.py)
+            from spokennlp_tpu.ops.pallas.train_blocks import (
+                attention_block_train,
+            )
+
+            qkv_kernel, qkv_bias = qkv_proj(hidden, layout="raw")
+            out_kernel, out_bias = AttnOutProj(
+                H, dtype=self.dtype, num_heads=nh, head_dim=hd, name="out"
+            )(hidden, layout="raw")
+            rate = float(cfg.attention_dropout) if not deterministic else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return (
+                attention_block_train(
+                    hidden,
+                    flash_segment_ids,
+                    qkv_kernel,
+                    qkv_bias,
+                    out_kernel,
+                    out_bias,
+                    seed,
+                    sm_scale=1.0 / float(hd) ** 0.5,
+                    dropout_rate=rate,
+                    interpret=jax.default_backend() == "cpu",
+                ),
+                None,
+            )
+        if (
             impl == "fused"
             and cfg.attention_type == "dense"
             and flash_segment_ids is not None
@@ -638,6 +678,52 @@ class TransformerLayer(nn.Module):
             and not output_attentions
             and deterministic
         )
+        train_fused = (
+            impl == "train_fused"
+            and cfg.attention_type == "dense"
+            and flash_segment_ids is not None
+            and not output_attentions
+        )
+        if train_fused:
+            # TRAINING fused path: attention block + MLP core are Pallas
+            # kernels with custom VJPs (flash-style recompute, in-kernel prob
+            # dropout); hidden-state dropout / residual / LN stay in XLA.
+            # NOTE: the in-kernel gelu is the tanh form (Mosaic has no erf);
+            # |delta| <= 3e-4 vs the einsum path's exact-erf gelu.
+            from spokennlp_tpu.ops.pallas.train_blocks import mlp_block_train
+
+            attn_out, _ = SelfAttention(cfg, dtype=self.dtype, name="attention")(
+                hidden,
+                attention_bias,
+                deterministic,
+                False,
+                flash_segment_ids=flash_segment_ids,
+                attention_impl="train_fused",
+            )
+            attn_out = nn.Dropout(cfg.hidden_dropout)(
+                attn_out, deterministic=deterministic
+            )
+            hidden = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln"
+            )(hidden + attn_out)
+            B, L, H = hidden.shape
+            w1, b1 = _DenseParams(H, cfg.intermediate_size, name="mlp_in")()
+            w2, b2 = _DenseParams(cfg.intermediate_size, H, name="mlp_out")()
+            mlp = mlp_block_train(
+                hidden.reshape(B * L, H),
+                w1,
+                b1,
+                w2,
+                b2,
+                activation=cfg.hidden_act,
+                interpret=jax.default_backend() == "cpu",
+            ).reshape(B, L, H)
+            mlp = nn.Dropout(cfg.hidden_dropout)(mlp, deterministic=deterministic)
+            hidden = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="mlp_ln"
+            )(hidden + mlp)
+            return hidden, None
+
         if fused_half or fused_sliding or fused_bigbird:
             from spokennlp_tpu.ops.pallas.mlp_block import fused_mlp_block
 
@@ -765,8 +851,19 @@ class Encoder(nn.Module):
                 # the two are neutral and "fused" keeps per-layer hiddens
                 # available
                 impl = "stack" if B <= 32 and not output_hidden_states else "fused"
+            elif (
+                on_tpu
+                and not deterministic
+                and not output_attentions
+                and cfg.attention_type == "dense"
+            ):
+                # TRAINING: custom-VJP fused blocks (train_blocks.py) — no
+                # (nh, L, L) residuals in HBM, hardware-PRNG prob dropout
+                impl = "train_fused"
             else:
                 impl = "einsum"
+        if impl == "train_fused" and cfg.attention_type != "dense":
+            impl = "einsum"
         use_stack = (
             impl == "stack"
             and cfg.attention_type == "dense"
@@ -785,7 +882,7 @@ class Encoder(nn.Module):
         use_pallas = (
             cfg.attention_type == "dense"
             and not output_attentions
-            and impl in ("pallas", "fused", "stack")
+            and impl in ("pallas", "fused", "stack", "train_fused")
         )
 
         bias = None

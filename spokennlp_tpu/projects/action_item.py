@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from spokennlp_tpu.configs import EncoderConfig
 from spokennlp_tpu.models.encoder import Encoder
+from spokennlp_tpu.train.train_step import fast_dropout_key
 
 Array = jax.Array
 NEG_INF = -1e4
@@ -271,7 +272,7 @@ def make_aid_train_step(model: "AidModel", cfg: AidConfig, tx):
         return aid_loss(logits, batch["label"], cfg, training=True)
 
     def step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        rng = fast_dropout_key(jax.random.fold_in(rng, state.step))
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )

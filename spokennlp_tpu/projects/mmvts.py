@@ -24,6 +24,7 @@ from spokennlp_tpu.models.encoder import Encoder
 from spokennlp_tpu.models.multimodal import MultiModalForTS, MultimodalConfig
 from spokennlp_tpu.objectives import mmvts_losses
 from spokennlp_tpu.objectives.cssl import gather_sentence_features
+from spokennlp_tpu.train.train_step import fast_dropout_key
 
 Array = jax.Array
 IGNORE = -100
@@ -173,7 +174,7 @@ def make_mmvts_train_step(model: MMVTSModel, tx, loss_kwargs: Dict):
         )
 
     def step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        rng = fast_dropout_key(jax.random.fold_in(rng, state.step))
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )

@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from spokennlp_tpu.configs import WindowingConfig
+from spokennlp_tpu.train.train_step import fast_dropout_key
 
 IGNORE = -100
 
@@ -155,7 +156,7 @@ def make_ponet_train_step(model, tx):
         return cross_entropy_with_ignore(out["token_logits"], batch["labels"])
 
     def step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        rng = fast_dropout_key(jax.random.fold_in(rng, state.step))
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from spokennlp_tpu.train.train_step import fast_dropout_key
 import numpy as np
 
 Array = jax.Array
@@ -163,7 +164,7 @@ def make_sld_train_step(model, cfg: SLDConfig, tx):
         return sld_loss(out["logits"], batch["labels"], batch["attention_mask"], cfg)
 
     def step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        rng = fast_dropout_key(jax.random.fold_in(rng, state.step))
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )

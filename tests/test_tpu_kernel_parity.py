@@ -144,3 +144,83 @@ def test_bigbird_fused_vs_block_4096():
         _logits(ref, params, ids, mask),
         mask,
     )
+
+
+def test_train_fused_kernels_dropout_on_chip():
+    """Training-path custom-VJP kernels (ops/pallas/train_blocks.py) with the
+    in-kernel hardware PRNG active (no CPU lowering -> chip-only):
+
+    - rate=0 grads match the einsum oracle at BERT-base shapes (bf16 tol)
+    - rate>0: masks are real (output deviates from rate=0), unbiased in
+      expectation (mean ratio ~1), and the backward regenerates the SAME
+      mask (directional finite-difference agrees with the VJP product).
+    """
+    from spokennlp_tpu.ops.pallas.attention_block import (
+        reference_attention_block,
+    )
+    from spokennlp_tpu.ops.pallas.train_blocks import attention_block_train
+
+    B, L, H, nh = 4, 512, 768, 12
+    hd = H // nh
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32) * 0.5)
+    seg = np.ones((B, L), np.int32)
+    seg[0, 400:] = 0
+    seg = jnp.asarray(seg)
+    qkv_k = jnp.asarray(rng.normal(size=(H, 3, nh, hd)).astype(np.float32) * 0.05)
+    qkv_b = jnp.zeros((3, nh, hd), jnp.float32)
+    out_k = jnp.asarray(rng.normal(size=(nh, hd, H)).astype(np.float32) * 0.05)
+    out_b = jnp.zeros((H,), jnp.float32)
+    seed = jnp.asarray([1234], jnp.int32)
+    s = 1.0 / hd**0.5
+    cot = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    cot = cot * (seg > 0)[:, :, None]
+
+    xb = x.astype(jnp.bfloat16)
+
+    def f(xx, rate):
+        o = attention_block_train(
+            xx, seg, qkv_k, qkv_b, out_k, out_b, seed, s, dropout_rate=rate
+        )
+        return jnp.sum(o.astype(jnp.float32) * cot)
+
+    # rate=0 grad parity vs oracle (bf16 kernel vs f32 oracle)
+    gk = jax.jit(jax.grad(lambda xx: f(xx, 0.0)))(xb)
+    go = jax.grad(
+        lambda xx: jnp.sum(
+            reference_attention_block(
+                xx, seg, qkv_k, qkv_b, out_k, out_b, s
+            ).astype(jnp.float32)
+            * cot
+        )
+    )(x)
+    scale = float(jnp.max(jnp.abs(go))) + 1e-9
+    err = float(jnp.max(jnp.abs(gk.astype(jnp.float32) - go))) / scale
+    assert err < 0.05, err
+
+    # dropout active: output deviates, expectation preserved
+    o0 = attention_block_train(
+        xb, seg, qkv_k, qkv_b, out_k, out_b, seed, s, dropout_rate=0.0
+    ).astype(jnp.float32)
+    o1 = attention_block_train(
+        xb, seg, qkv_k, qkv_b, out_k, out_b, seed, s, dropout_rate=0.3
+    ).astype(jnp.float32)
+    valid = np.asarray(seg > 0)[:, :, None]
+    diff = float(np.mean(np.abs(np.asarray(o1 - o0))[np.broadcast_to(valid, o0.shape)]))
+    assert diff > 1e-3, "dropout made no difference"
+    m0 = float(np.mean(np.abs(np.asarray(o0))))
+    m1 = float(np.mean(np.abs(np.asarray(o1))))
+    assert 0.8 < m1 / m0 < 1.25, (m0, m1)
+
+    # fwd/bwd mask consistency: finite difference (same seed => same mask)
+    d = jnp.asarray(rng.normal(size=x.shape).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
+    g = jax.jit(jax.grad(lambda xx: f(xx, 0.3)))(xb)
+    eps = 0.05  # bf16-friendly step
+    fd = (f(xb + eps * d, 0.3) - f(xb - eps * d, 0.3)) / (2 * eps)
+    an = jnp.sum(g.astype(jnp.float32) * d.astype(jnp.float32))
+    assert abs(float(fd) - float(an)) < 0.1 * (abs(float(an)) + 1.0), (
+        float(fd),
+        float(an),
+    )
