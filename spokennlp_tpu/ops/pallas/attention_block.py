@@ -57,6 +57,7 @@ def _attn_block_kernel(
     quantized: bool,
     fuse_ln: bool,
     eps: float,
+    core_int8=False,
 ):
     from jax.experimental import pallas as pl
 
@@ -116,27 +117,80 @@ def _attn_block_kernel(
 
     hd = head_dim
     ctx_parts = []
+    # int8 attention-CORE levers (each independently measurable):
+    #  - "qk":   QK^T on the 2x int8 MXU rate. q/k get PER-TENSOR int8
+    #    scales so the dequant constant c = sq*sk folds into the exp
+    #    argument as one FMA on the already-needed max-subtract, NOT the
+    #    per-row two-vector dequant that was measured a loss (ROUND1_NOTES).
+    #  - "av":   AV on the int8 rate. probs use a STATIC scale 127
+    #    (p in [0, 1] by construction) — the *127 folds into the exp
+    #    argument as +ln(127), so quantizing the (L, L) probs costs only a
+    #    round+cast, no abs/max pass. v is per-column int8 (contraction is
+    #    over rows).
+    #  - "both": both of the above.
+    use_qk8 = quantized and core_int8 in ("qk", "both", True)
+    use_av8 = quantized and core_int8 in ("av", "both", True)
+    LN127 = 4.844187086458591  # ln(127)
+    if use_qk8:
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) * (1.0 / 127.0)
+        sk = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) * (1.0 / 127.0)
+        q8 = jnp.clip(jnp.round(qf * (1.0 / sq)), -127, 127).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(kf * (1.0 / sk)), -127, 127).astype(jnp.int8)
+        c = (sq * sk).astype(jnp.float32)
+    if use_av8:
+        vf = v.astype(jnp.float32)
+        sv = jnp.maximum(
+            jnp.max(jnp.abs(vf), axis=0, keepdims=True), 1e-6
+        ) * (1.0 / 127.0)  # (1, HB*hd)
+        v8 = jnp.clip(jnp.round(vf * (1.0 / sv)), -127, 127).astype(jnp.int8)
     for h in range(heads_per_block):
-        qh = q[:, h * hd : (h + 1) * hd]
-        kh = k[:, h * hd : (h + 1) * hd]
-        scores = (
-            jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        col = slice(h * hd, (h + 1) * hd)
+        if use_qk8:
+            s_int = jax.lax.dot_general(
+                q8[:, col], k8[:, col], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            m = jnp.max(
+                jnp.where(allowed, s_int, -3e38), axis=-1, keepdims=True
             )
-            + bias
-        )
-        # VPU-lean softmax: bf16 exp (2x f32 rate), normalize AFTER PV so the
-        # divide runs on (L, hd) not (L, L)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp((scores - m).astype(x.dtype))
-        denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-        ctxh = jax.lax.dot_general(
-            p.astype(x.dtype),
-            v[:, h * hd : (h + 1) * hd],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ctx_parts.append((ctxh / denom).astype(x.dtype))
+            arg = jnp.where(allowed, (s_int - m) * c, -30.0)
+        else:
+            scores = (
+                jax.lax.dot_general(
+                    q[:, col], k[:, col], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias
+            )
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            arg = scores - m
+        if use_av8:
+            p_scaled = jnp.exp(arg + LN127)  # in [0, 127]
+            denom = jnp.maximum(
+                jnp.sum(p_scaled, axis=-1, keepdims=True), 1e-6
+            )
+            p8 = jnp.clip(jnp.round(p_scaled), 0, 127).astype(jnp.int8)
+            ctx_int = jax.lax.dot_general(
+                p8, v8[:, col], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            ctx_parts.append(
+                (ctx_int * sv[:, col] * (1.0 / denom)).astype(x.dtype)
+            )
+        else:
+            # VPU-lean softmax: bf16 exp (2x f32 rate), normalize AFTER PV so
+            # the divide runs on (L, hd) not (L, L)
+            p = jnp.exp(arg.astype(x.dtype))
+            denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            ctxh = jax.lax.dot_general(
+                p.astype(x.dtype),
+                v[:, col],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ctx_parts.append((ctxh / denom).astype(x.dtype))
     ctx = jnp.concatenate(ctx_parts, axis=1)  # (L, HB*hd)
 
     if quantized:
@@ -300,6 +354,7 @@ def _attn_block_kernel_multi(
         "quantized",
         "eps",
         "seqs_per_block",
+        "core_int8",
     ),
 )
 def fused_attention_block(
@@ -317,6 +372,7 @@ def fused_attention_block(
     ln_bias: Optional[Array] = None,
     eps: float = 1e-12,
     seqs_per_block: int = 1,  # >1: single-group multi-sequence kernel
+    core_int8=False,  # False | "qk" | "av" | "both": int8 attention core; W8A8 only
 ) -> Array:
     """Full attention block (QKV proj -> MHA -> out proj); returns (B, L, H).
 
@@ -427,6 +483,7 @@ def fused_attention_block(
         quantized=quantized,
         fuse_ln=fuse_ln,
         eps=float(eps),
+        core_int8=core_int8,
     )
     return pl.pallas_call(
         kernel,
