@@ -296,3 +296,43 @@ def aggregate_window_predictions(
             }
         )
     return out
+
+
+def aggregate_gathered_predictions(
+    window_example_ids: np.ndarray,
+    window_sent_labels: np.ndarray,
+    gathered_scores: np.ndarray,
+    num_examples: Optional[int] = None,
+) -> List[Dict[str, np.ndarray]]:
+    """``aggregate_window_predictions`` for scores already gathered at
+    ``sent_positions`` on device ((N, K, C) instead of (N, L, C)).
+
+    Equivalence contract (window_document): the (L,)-label tensor is IGNORE
+    everywhere except BOS positions, and ``sent_labels[k]`` carries exactly
+    the label at ``sent_positions[k]`` (IGNORE when masked) with positions in
+    ascending window order — so filtering K slots by ``sent_labels != IGNORE``
+    yields the same predictions in the same order as scanning L tokens.
+    """
+    if num_examples is None:
+        num_examples = int(window_example_ids.max()) + 1
+    per_doc_labels: List[List[int]] = [[] for _ in range(num_examples)]
+    per_doc_scores: List[List[np.ndarray]] = [[] for _ in range(num_examples)]
+    for wi in range(window_sent_labels.shape[0]):
+        eid = int(window_example_ids[wi])
+        live = window_sent_labels[wi] != IGNORE
+        per_doc_labels[eid].extend(window_sent_labels[wi][live].tolist())
+        per_doc_scores[eid].append(gathered_scores[wi][live])
+    out = []
+    for eid in range(num_examples):
+        scores = (
+            np.concatenate(per_doc_scores[eid], axis=0)
+            if per_doc_scores[eid]
+            else np.zeros((0, gathered_scores.shape[-1]), dtype=gathered_scores.dtype)
+        )
+        out.append(
+            {
+                "labels": np.asarray(per_doc_labels[eid], dtype=np.int32),
+                "scores": scores,
+            }
+        )
+    return out

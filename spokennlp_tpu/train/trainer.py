@@ -256,15 +256,19 @@ class TopicSegTrainer:
         if not windows:
             return {}
         batch = stack_windows(windows)
+        # gather_sents: logits fetched only at sentence positions (same
+        # transfer cut as the inference engine; labels at those slots are
+        # batch["sent_labels"])
         logits = predict_windows_scanned(
-            self.model, self.state.params, batch, self.batch_size, mesh=self.mesh
+            self.model, self.state.params, batch, self.batch_size,
+            mesh=self.mesh, gather_sents=True,
         )
         preds, refs = [], []
         for i in range(len(windows)):
-            live = batch["labels"][i] != -100
+            live = batch["sent_labels"][i] != -100
             if live.any():
                 preds.append(np.argmax(logits[i][live], -1).tolist())
-                refs.append(batch["labels"][i][live].tolist())
+                refs.append(batch["sent_labels"][i][live].tolist())
         # multi-host: gather every process's windows before scoring (the
         # reference's accelerator.gather_for_metrics; no-op single-host)
         preds = dist_lib.allgather_ragged(preds)

@@ -75,6 +75,37 @@ def test_inference_pipeline_runs(model_and_params):
         assert res["scores"].shape[0] == len(res["labels"])
 
 
+def test_gathered_engine_matches_full_logit_fetch(model_and_params):
+    # the lt engine fetches logits gathered at sent_positions on device;
+    # must equal aggregating the full (N, L, C) fetch
+    from spokennlp_tpu.data import windowing as W
+    from spokennlp_tpu.eval.inference import predict_windows_scanned
+
+    model, params = model_and_params
+    docs = _random_docs(np.random.default_rng(3))
+    windows = []
+    for eid, doc in enumerate(docs):
+        windows.extend(
+            W.window_document(doc["sent_token_ids"], doc["labels"], WCFG,
+                              example_id=eid)
+        )
+    batch = W.stack_windows(windows)
+    full = predict_windows_scanned(model, params, batch, 4)
+    gathered = predict_windows_scanned(model, params, batch, 4,
+                                       gather_sents=True)
+    a = W.aggregate_window_predictions(
+        batch["example_id"], batch["labels"], full, num_examples=len(docs)
+    )
+    b = W.aggregate_gathered_predictions(
+        batch["example_id"], batch["sent_labels"], gathered,
+        num_examples=len(docs)
+    )
+    assert len(a) == len(b)
+    for da, db in zip(a, b):
+        np.testing.assert_array_equal(da["labels"], db["labels"])
+        np.testing.assert_allclose(da["scores"], db["scores"], atol=1e-6)
+
+
 def test_training_loss_and_grads(model_and_params):
     """Composite loss (ts + matrix CSSL + DA ts + TSSP) differentiates."""
     model, params = model_and_params
