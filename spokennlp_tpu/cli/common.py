@@ -84,6 +84,11 @@ def add_training_args(p: argparse.ArgumentParser):
     g.add_argument("--save_total_limit", type=int, default=2)
     g.add_argument("--resume_from_checkpoint", default=None)
     g.add_argument("--overwrite_output_dir", action="store_true")
+    g.add_argument("--save_hf_format", action="store_true",
+                   help="also export <output_dir>/final_model_hf in the "
+                   "save_pretrained (pytorch_model.bin) format the reference "
+                   "writes (alimeeting4mug/src/models/trainer.py:33-60), so "
+                   "ModelScope/transformers pipelines can consume the result")
     g.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     # SPMD: data-parallel over all local devices by default (the reference's
     # torch.distributed.launch DDP); optional tensor-parallel axis + explicit

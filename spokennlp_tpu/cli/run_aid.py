@@ -51,6 +51,8 @@ def main(argv=None):
     p.add_argument("--num_train_epochs", type=int, default=3)
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save_hf_format", action="store_true",
+                   help="also export best_model_hf in save_pretrained format")
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_hidden_layers", type=int, default=12)
     p.add_argument("--num_attention_heads", type=int, default=12)
@@ -227,6 +229,12 @@ def main(argv=None):
             checkpoint_io.save_checkpoint(
                 os.path.join(args.output_dir, "best_model"),
                 state.params, enc_cfg)
+            if getattr(args, "save_hf_format", False):
+                from spokennlp_tpu.models import hf_export
+
+                hf_export.save_hf_checkpoint(
+                    os.path.join(args.output_dir, "best_model_hf"),
+                    jax.device_get(state.params), enc_cfg)
 
     results = {"history": history, "best_positive_f1": 100 * best_f1}
     with open(os.path.join(args.output_dir, "aid_results.json"), "w") as f:

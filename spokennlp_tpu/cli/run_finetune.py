@@ -135,6 +135,19 @@ def main_single(args):
             trainer.state.params,
             enc_cfg,
         )
+        if getattr(args, "save_hf_format", False):
+            import jax
+
+            from spokennlp_tpu.models import hf_export
+
+            hf_export.save_hf_checkpoint(
+                os.path.join(args.output_dir, "final_model_hf"),
+                jax.device_get(trainer.state.params),
+                enc_cfg,
+                tokenizer_src=args.model_name_or_path
+                if args.model_name_or_path and os.path.isdir(args.model_name_or_path)
+                else None,
+            )
     if args.do_eval:
         results.update({f"eval_{k}": v for k, v in trainer.evaluate().items()})
     if args.do_predict and "test" in docs:

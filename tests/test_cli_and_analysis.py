@@ -68,11 +68,16 @@ def test_run_finetune_cli_smoke(tmp_path):
             "--max_seq_length", "48", "--num_train_epochs", "1",
             "--per_device_train_batch_size", "1",
             "--gradient_accumulation_steps", "1",
+            "--save_hf_format",
         ]
     )
     assert "eval_f1" in results
     assert os.path.exists(os.path.join(out, "all_results.json"))
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    # ModelScope/save_pretrained-format export alongside the native save
+    hf_dir = os.path.join(out, "final_model_hf")
+    assert os.path.exists(os.path.join(hf_dir, "pytorch_model.bin"))
+    assert os.path.exists(os.path.join(hf_dir, "config.json"))
 
 
 def test_run_inference_cli_smoke(tmp_path):

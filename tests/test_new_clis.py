@@ -217,3 +217,29 @@ def test_relatedness_file_formats(tmp_path):
         "main-news\tMSRpar\t2012\t2\t0.4\tx y\tz w\n")
     d = load_relatedness_files(str(tmp_path), "stsb")
     assert d["train"] == (["sent one"], ["sent two"], [3.8])
+
+
+def test_extract_features_cli(tmp_path):
+    """JSONL schema parity with the reference feature dumper
+    (action-item-detection/script/extract_features.py:391-412)."""
+    from spokennlp_tpu.cli import run_extract_features
+
+    inp = tmp_path / "input.txt"
+    inp.write_text("let us order food\nfirst sentence ||| second sentence\n")
+    out = tmp_path / "features.jsonl"
+    n = run_extract_features.main([
+        "--input_file", str(inp), "--output_file", str(out),
+        "--layers=-1,-2", "--max_seq_length", "16", "--batch_size", "2",
+        "--hidden_size", "32", "--num_hidden_layers", "2",
+        "--num_attention_heads", "2", "--intermediate_size", "64",
+    ])
+    assert n == 2
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["linex_index"] for r in rows] == [0, 1]
+    f0 = rows[0]["features"]
+    assert f0[0]["token"] == "[CLS]"
+    assert [l["index"] for l in f0[0]["layers"]] == [-1, -2]
+    assert len(f0[0]["layers"][0]["values"]) == 32
+    # pair example carries both segments and the trailing [SEP]
+    toks1 = [t["token"] for t in rows[1]["features"]]
+    assert toks1.count("[SEP]") == 2
