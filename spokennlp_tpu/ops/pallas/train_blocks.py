@@ -218,7 +218,13 @@ def _attn_train_bwd_kernel(
         p_eff = e_m.astype(jnp.float32) / denom_eff
         p = e.astype(jnp.float32) / D
         # softmax(+dropout) backward: dS = p_eff*dp - p * rowsum(dp * p_eff)
-        # (derivation: p_eff_j = mask_j e_j / (D keep_prob), D = sum e)
+        # (derivation: p_eff_j = mask_j e_j / (D keep_prob), D = sum e).
+        # NOTE (measured, do not "optimize"): the flash-style delta trick
+        # (rowsum via dctx.ctx) + factoring e out of the difference to cut
+        # (L, L) VPU passes measured a consistent ~0.3 ms/layer LOSS here —
+        # this kernel is MXU-bound (6 L²·hd + 8 H×H matmuls per head loop)
+        # and the f32 passes below hide under the MXU; the restructure only
+        # serialized the pipeline (see ROUND1_NOTES round-3 section).
         rs = jnp.sum(dp * p_eff, axis=-1, keepdims=True)
         dS = ((p_eff * dp - p * rs) * sm_scale).astype(x.dtype)
         dq_parts.append(
@@ -494,6 +500,24 @@ def _act_grad(name, x):
     raise ValueError(name)
 
 
+def _act_and_grad(name, x):
+    """(activation(x), activation'(x)) sharing the transcendental: the
+    tanh/sigmoid is evaluated ONCE for both (the bwd kernel previously paid
+    it twice — once inside jax.nn.gelu, once in _act_grad)."""
+    if name in ("gelu", "gelu_new"):
+        u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+        t = jnp.tanh(u)
+        h = 0.5 * x * (1.0 + t)
+        du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * x * x)
+        return h, 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+    if name == "relu":
+        return jax.nn.relu(x), (x > 0).astype(x.dtype)
+    if name == "silu":
+        s = jax.nn.sigmoid(x)
+        return x * s, s * (1.0 + x * (1.0 - s))
+    raise ValueError(name)
+
+
 def _mlp_train_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                           activation: str):
     x = x_ref[:]  # (bm, H) compute dtype
@@ -519,11 +543,11 @@ def _mlp_train_bwd_kernel(
     x = x_ref[:]
     g = g_ref[:]
     pre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    h = _act(activation, pre)
+    h, hgrad = _act_and_grad(activation, pre)
     dh = jax.lax.dot_general(
         g, w2_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dpre = (dh * _act_grad(activation, pre)).astype(x.dtype)
+    dpre = (dh * hgrad).astype(x.dtype)
     dx = jax.lax.dot_general(
         dpre, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
