@@ -51,6 +51,11 @@ def main(argv=None):
     p.add_argument("--per_device_train_batch_size", type=int, default=8)
     p.add_argument("--num_train_epochs", type=int, default=3)
     p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--lr_scheduler_type", default="linear",
+                   choices=["linear", "constant"],
+                   help="reference parity: run_clm.py uses get_scheduler "
+                   "with the 'linear' default (decay to 0 over training)")
+    p.add_argument("--num_warmup_steps", type=int, default=0)
     p.add_argument("--weight_ce_speech", type=float, default=1.0)
     p.add_argument("--weight_ce_text", type=float, default=1.0)
     p.add_argument("--weight_kl_speech", type=float, default=1.0)
@@ -144,8 +149,25 @@ def main(argv=None):
             print(f"[warn] pretrained load failed ({e}); training from scratch")
             params = None
 
+    # reference-parity LR schedule (run_clm.py: accelerate get_scheduler,
+    # default "linear" = optional warmup then linear decay to 0)
+    if args.lr_scheduler_type == "linear":
+        steps_per_epoch = max(
+            1,
+            (len(train_ex) + args.per_device_train_batch_size - 1)
+            // args.per_device_train_batch_size,
+        )
+        total_steps = steps_per_epoch * args.num_train_epochs
+        from spokennlp_tpu.train.optim import linear_warmup_schedule
+
+        lr = linear_warmup_schedule(
+            args.learning_rate, total_steps, args.num_warmup_steps
+        )
+    else:
+        lr = args.learning_rate
+
     trainer = SLDTrainer(
-        model, cfg, optax.adamw(args.learning_rate),
+        model, cfg, optax.adamw(lr),
         train_ex, eval_ex, eval_texts, detok,
         batch_size=args.per_device_train_batch_size,
         num_epochs=args.num_train_epochs,
