@@ -100,6 +100,22 @@ def main(argv=None):
     tokenize_fn, special = resolve_tokenizer(args)
     enc_cfg, _task, wcfg, tcfg = common.build_configs(args, special)
 
+    # pretrained text trunk (reference parity: TextEncoder wraps a pretrained
+    # BERT/Longformer checkpoint, mmvts/src/models/text_encoder/
+    # text_encoder.py:4-89); native and HF torch checkpoint dirs both convert
+    pretrained = common.maybe_load_pretrained(args, enc_cfg)
+    trunk_params = None
+    if pretrained is not None:
+        import dataclasses as dc
+
+        loaded_cfg, trunk_params = pretrained
+        trunk_params, loaded_cfg = common.resize_word_embeddings(
+            trunk_params, loaded_cfg, special["vocab_size"], seed=tcfg.seed
+        )
+        enc_cfg = dc.replace(
+            loaded_cfg, add_pooler=False, attention_type=enc_cfg.attention_type
+        )
+
     mm_cfg = MultimodalConfig(
         hidden_size=args.mm_hidden_size,
         text_hidden_size=enc_cfg.hidden_size,
@@ -183,6 +199,23 @@ def main(argv=None):
         vis_feats=jnp.asarray(ex0["vis_feats"][None]) if "vis_feats" in ex0 else None,
         audio_feats=jnp.asarray(ex0["audio_feats"][None]) if "audio_feats" in ex0 else None,
     )["params"]
+    if trunk_params is not None:
+        # deep-merge the checkpoint into the text-encoder subtree; params the
+        # checkpoint lacks keep their fresh init (run_aid pattern)
+        def _merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    _merge(dst[k], v)
+                else:
+                    dst[k] = v
+
+        enc_sub = trunk_params
+        for key in ("text_encoder", "encoder"):
+            if key in enc_sub:
+                enc_sub = enc_sub[key]
+                break
+        params = jax.tree_util.tree_map(lambda x: x, params)  # own the tree
+        _merge(params["text_encoder"], enc_sub)
 
     mesh = mesh_lib.make_mesh(tcfg.model_parallel_size)
     params = mesh_lib.shard_params(params, mesh)

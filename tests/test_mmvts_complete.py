@@ -194,3 +194,43 @@ def test_video_type_breakdown_and_llm_scoring():
     pred = [{"predict": [0, 1, 0, 1, 1, 0, 1]}]   # LLM over-generated
     m = evaluate_llm_corpus(data, pred)
     assert m["clip_f1"] == 1.0 and m["miou"] == 1.0
+
+
+def test_multimodal_cli_loads_pretrained_text_trunk(tmp_path):
+    """--model_name_or_path on run_finetune_multimodal converts and merges an
+    HF BERT checkpoint into the text-encoder subtree (reference parity:
+    TextEncoder wraps a pretrained checkpoint, text_encoder.py:4-89)."""
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    from spokennlp_tpu.cli import run_finetune_multimodal
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[BOS]"] + [
+        f"w{i}" for i in range(20)
+    ]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n")
+    tok = BertTokenizer(vocab_file=str(vp), do_lower_case=True)
+    torch.manual_seed(0)
+    md = tmp_path / "trunk"
+    BertModel(BertConfig(
+        vocab_size=tok.vocab_size, hidden_size=24, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=48,
+        max_position_embeddings=128,
+    )).save_pretrained(md)
+    tok.save_pretrained(md)
+
+    d = _write_video_corpus(tmp_path, n=4, seed=2)
+    res = run_finetune_multimodal.main([
+        "--dataset_name", "clvts", "--data_dir", d,
+        "--output_dir", str(tmp_path / "out"),
+        "--do_train", "--do_eval",
+        "--model_name_or_path", str(md),
+        "--max_seq_length", "64", "--max_clips_per_window", "8",
+        "--mm_hidden_size", "16", "--num_cross_encoder_layers", "1",
+        "--cross_encoder_type", "ma", "--fuse_type", "cat_t_v",
+        "--vis_hidden_size", "8",
+        "--num_train_epochs", "1", "--per_device_train_batch_size", "1",
+    ])
+    assert np.isfinite(res["history"][-1]["total_loss"])
+    assert "clip_f1" in res["eval"]
