@@ -212,15 +212,60 @@ def test_train_fused_kernels_dropout_on_chip():
     m1 = float(np.mean(np.abs(np.asarray(o1))))
     assert 0.8 < m1 / m0 < 1.25, (m0, m1)
 
-    # fwd/bwd mask consistency: finite difference (same seed => same mask)
-    d = jnp.asarray(rng.normal(size=x.shape).astype(np.float32) * 0.1).astype(
-        jnp.bfloat16
-    )
-    g = jax.jit(jax.grad(lambda xx: f(xx, 0.3)))(xb)
-    eps = 0.05  # bf16-friendly step
-    fd = (f(xb + eps * d, 0.3) - f(xb - eps * d, 0.3)) / (2 * eps)
-    an = jnp.sum(g.astype(jnp.float32) * d.astype(jnp.float32))
-    assert abs(float(fd) - float(an)) < 0.1 * (abs(float(an)) + 1.0), (
-        float(fd),
-        float(an),
-    )
+    # fwd/bwd mask consistency, tested DIRECTLY (not by finite differences —
+    # measured: FD is unusable here at every eps; the 1.6M-term cancelling
+    # reduction carries value-dependent MXU rounding noise ~0.5 in a 46-
+    # magnitude loss, so the FD error neither shrinks with eps nor stays
+    # below tolerance even at rate=0 in f32). Instead: REPLAY the kernel's
+    # PRNG stream in a standalone Pallas kernel (identical seed + per-batch
+    # reseed + per-head generation order), build the explicit keep masks,
+    # autodiff an explicit-mask XLA oracle in f32, and require the fused
+    # custom-VJP grad to match it. This checks both the softmax+dropout
+    # backward math AND that the backward regenerates the same masks.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spokennlp_tpu.ops.pallas.train_blocks import _dropout_threshold
+
+    rate = 0.3
+    thr = _dropout_threshold(rate)
+
+    def mask_kernel(seed_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        for h in range(nh):
+            bits = pltpu.prng_random_bits((L, L))
+            o_ref[0, h] = (
+                bits.astype(jnp.uint32) >= jnp.uint32(thr)
+            ).astype(jnp.int8)
+
+    keep = pl.pallas_call(
+        mask_kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, nh, L, L), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nh, L, L), jnp.int8),
+    )(seed).astype(bool)
+
+    def oracle_masked(xx):
+        w = qkv_k.reshape(H, 3, nh, hd)
+        q = jnp.einsum("blh,hnd->blnd", xx, w[:, 0]) + qkv_b[0]
+        k = jnp.einsum("blh,hnd->blnd", xx, w[:, 1]) + qkv_b[1]
+        v = jnp.einsum("blh,hnd->blnd", xx, w[:, 2]) + qkv_b[2]
+        allowed = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] > 0)
+        bias = jnp.where(allowed, 0.0, -1e9)[:, None]
+        scores = jnp.einsum("blnd,bmnd->bnlm", q, k) * s + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        D = jnp.sum(e, axis=-1, keepdims=True)
+        p_eff = jnp.where(keep, e, 0.0) / (D * (1.0 - rate))
+        ctx = jnp.einsum("bnlm,bmnd->blnd", p_eff, v)
+        out = jnp.einsum("blnd,ndh->blh", ctx, out_k) + out_b
+        return jnp.sum(out * cot)
+
+    g_fused = jax.jit(jax.grad(lambda xx: f(xx, rate)))(x)
+    g_oracle = jax.jit(jax.grad(oracle_masked))(x)
+    scale_d = float(jnp.max(jnp.abs(g_oracle))) + 1e-9
+    err_d = float(
+        jnp.max(jnp.abs(g_fused.astype(jnp.float32) - g_oracle))
+    ) / scale_d
+    assert err_d < 0.05, err_d
