@@ -68,6 +68,8 @@ def main(argv=None):
     p.add_argument("--hidden_size", type=int, default=768)
     p.add_argument("--num_hidden_layers", type=int, default=12)
     p.add_argument("--num_attention_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=None,
+                   help="GPT-2 n_inner; default 4*hidden (HF semantics)")
     args = p.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -126,6 +128,7 @@ def main(argv=None):
         hidden_size=args.hidden_size,
         num_layers=args.num_hidden_layers,
         num_heads=args.num_attention_heads,
+        intermediate_size=args.intermediate_size or 4 * args.hidden_size,
         max_position_embeddings=max(args.block_size, 1024),
     )
     model = GPT2LMModel(gcfg)

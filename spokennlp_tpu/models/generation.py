@@ -89,7 +89,16 @@ def greedy_generate(
         return (t < max_len) & ~jnp.all(finished)
 
     state = (P, seqs, cache, am_full, next_tok, n_real, finished)
-    _, seqs, *_ = jax.lax.while_loop(cond, body, state)
+    t, seqs, _, _, next_tok, _, finished = jax.lax.while_loop(cond, body, state)
+    # flush the pending prediction: the body writes the PREVIOUS step's token,
+    # so when the loop exits because every row finished, the token that
+    # finished the last row(s) — the eos itself — was never written. Without
+    # this, downstream consumers see the zero-initialized tail instead of eos
+    # (caught by the SLD parity harness: text_end dropped => WER blow-up).
+    t_w = jnp.minimum(t, max_len - 1)
+    pending = jnp.where(finished, eos_id, next_tok)
+    keep = jax.lax.dynamic_slice_in_dim(seqs, t_w, 1, axis=1)[:, 0]
+    seqs = seqs.at[:, t_w].set(jnp.where(t < max_len, pending, keep))
     return seqs
 
 
@@ -204,7 +213,16 @@ def beam_generate(
         return (t < max_len) & ~jnp.all(finished)
 
     state = (P, seqs, cache, am_full, next_tok, n_real, scores, finished)
-    _, seqs, _, _, _, n_real, scores, _ = jax.lax.while_loop(cond, body, state)
+    t, seqs, _, _, next_tok, n_real, scores, finished = jax.lax.while_loop(
+        cond, body, state
+    )
+    # flush the pending prediction (same off-by-one as greedy: the body
+    # writes the PREVIOUS step's token, so the eos that finished the last
+    # beam(s) is dropped when the loop exits)
+    t_w = jnp.minimum(t, max_len - 1)
+    pending = jnp.where(finished, eos_id, next_tok)  # (B, K)
+    keep = jax.lax.dynamic_slice_in_dim(seqs, t_w, 1, axis=2)[:, :, 0]
+    seqs = seqs.at[:, :, t_w].set(jnp.where(t < max_len, pending, keep))
 
     norm = jnp.power(n_real.astype(jnp.float32), length_penalty)
     best = jnp.argmax(scores / jnp.maximum(norm, 1.0), axis=1)  # (B,)

@@ -58,7 +58,17 @@ class CausalSelfAttention(nn.Module):
         B, L, H = hidden.shape
         nh, hd = cfg.num_heads, cfg.head_dim
 
-        qkv = nn.DenseGeneral((3, nh, hd), axis=-1, dtype=self.dtype, name="qkv")(hidden)
+        # HF GPT-2 init: normal(initializer_range); the residual projection
+        # (c_proj) additionally scaled by 1/sqrt(2*n_layer). Flax defaults
+        # (lecun_normal Dense, normal(1.0) Embed) train MEASURABLY worse
+        # from scratch with the tied LM head (unit-scale wte saturates the
+        # softmax at step 0 — caught by the SLD parity harness).
+        w_init = nn.initializers.normal(0.02)
+        proj_init = nn.initializers.normal(
+            0.02 / (2 * cfg.num_layers) ** 0.5
+        )
+        qkv = nn.DenseGeneral((3, nh, hd), axis=-1, dtype=self.dtype,
+                              kernel_init=w_init, name="qkv")(hidden)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
 
         new_cache = None
@@ -92,7 +102,8 @@ class CausalSelfAttention(nn.Module):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.attn_dropout)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v.astype(q.dtype))
-        out = nn.DenseGeneral(H, axis=(-2, -1), dtype=self.dtype, name="out")(ctx)
+        out = nn.DenseGeneral(H, axis=(-2, -1), dtype=self.dtype,
+                              kernel_init=proj_init, name="out")(ctx)
         return out, new_cache
 
 
@@ -110,9 +121,15 @@ class GPT2Block(nn.Module):
         attn = nn.Dropout(cfg.resid_dropout)(attn, deterministic=deterministic)
         hidden = hidden + attn
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="ln_2")(hidden)
-        mlp = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="mlp_in")(x)
+        mlp = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.02),
+                       name="mlp_in")(x)
         mlp = nn.gelu(mlp, approximate=True)
-        mlp = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="mlp_out")(mlp)
+        mlp = nn.Dense(
+            cfg.hidden_size, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(
+                0.02 / (2 * cfg.num_layers) ** 0.5),
+            name="mlp_out")(mlp)
         mlp = nn.Dropout(cfg.resid_dropout)(mlp, deterministic=deterministic)
         return hidden + mlp, new_cache
 
@@ -135,9 +152,15 @@ class GPT2LMModel(nn.Module):
     ):
         cfg = self.config
         B, L = input_ids.shape
-        wte = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="wte")
+        # HF init: wte/wpe normal(0.02) — flax's default Embed init is
+        # normal(1.0), which with the TIED head yields unit-scale logits at
+        # step 0 and cripples from-scratch training (see CausalSelfAttention)
+        wte = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+                       embedding_init=nn.initializers.normal(0.02),
+                       name="wte")
         wpe = nn.Embed(
-            cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype, name="wpe"
+            cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype,
+            embedding_init=nn.initializers.normal(0.02), name="wpe"
         )
         if position_ids is None:
             offset = cache_index if cache_index is not None else 0

@@ -20,7 +20,10 @@ from spokennlp_tpu.configs import EncoderConfig
 
 
 def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
-    return {k: v.detach().cpu().numpy() for k, v in state_dict.items()}
+    # .copy(): torch .numpy() returns a VIEW of the tensor storage, and
+    # torch optimizers update in place — without the copy, converted params
+    # silently track any further training of the source model
+    return {k: v.detach().cpu().numpy().copy() for k, v in state_dict.items()}
 
 
 def _linear(sd: Dict[str, np.ndarray], prefix: str):

@@ -256,3 +256,41 @@ def test_bpe_trainer_and_encode():
     enc = bpe_encode(["1", "2", "3"], merges)
     assert enc[0] == "1▁2"
     assert dedupe_runs([5, 5, 5, 2, 2, 7]) == [5, 2, 7]
+
+
+def test_greedy_and_beam_flush_final_eos():
+    """Regression: the while_loop body writes the PREVIOUS step's token, so
+    when generation terminates (all rows finished), the token that finished
+    the last row — the eos itself — used to be dropped, leaving the
+    zero-initialized tail in its place (downstream extraction then read
+    token id 0 as real content; caught by the SLD parity harness as a WER
+    blow-up on otherwise-perfect models)."""
+    import numpy as np
+
+    from spokennlp_tpu.models.generation import beam_generate, greedy_generate
+
+    cfg = GPT2Config(vocab_size=32, hidden_size=16, num_layers=1, num_heads=2,
+                     intermediate_size=32, max_position_embeddings=32)
+    model = GPT2LMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))[
+        "params"
+    ]
+    ids = jnp.asarray(np.asarray([[5, 7, 9, 11]], np.int32))
+    am = jnp.ones_like(ids)
+    # find the token a random tiny model constantly argmaxes (eos_id=33 is
+    # outside the vocab, so generation runs to max_len)
+    free = np.asarray(
+        greedy_generate(model, params, ids, am, max_len=12, eos_id=33)
+    )
+    c = int(free[0, 4])
+    out = np.asarray(
+        greedy_generate(model, params, ids, am, max_len=12, eos_id=c)
+    )
+    # the finishing token must be present in the output (pre-fix: slot 4
+    # kept its zero initialization because the loop exited before writing)
+    assert int(out[0, 4]) == c, out[0].tolist()
+    bout = np.asarray(
+        beam_generate(model, params, ids, am, max_len=12, eos_id=c,
+                      num_beams=2)
+    )
+    assert c in bout[0, 4:].tolist(), bout[0].tolist()
