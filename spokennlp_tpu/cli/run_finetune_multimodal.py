@@ -59,7 +59,12 @@ def main(argv=None):
     g.add_argument("--weight_label_zero_mm", type=float, default=0.7)
     g.add_argument("--do_modality_cl", action="store_true")
     g.add_argument("--align_pairs", default="tv",
-                   help="comma list from {av,at,tv}")
+                   help="comma list from {av,at,tv}, each optionally "
+                   "weighted 'tv=0.33' (default weight 0.33 = the "
+                   "reference's align_*_weight, mmvts arguments.py:184-203)")
+    g.add_argument("--modality_cl_lw", type=float, default=1.0,
+                   help="global modality-CL weight (reference "
+                   "modality_cl_lw)")
     g.add_argument("--do_topic_mm_cl", action="store_true")
     g.add_argument("--topic_cl_type", default="matrix", choices=["matrix", "list"])
     g.add_argument("--topic_cl_fct", default="simcse", choices=["simcse", "ce"])
@@ -230,11 +235,22 @@ def main(argv=None):
         tx = optim.make_optimizer(tcfg, total_steps=1000)
     state = create_train_state(params, tx)
 
-    align_pairs = {k: 1.0 for k in args.align_pairs.split(",") if k}
+    align_pairs = {}
+    for entry in args.align_pairs.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        if "=" in entry:
+            k, w = entry.split("=", 1)
+            align_pairs[k] = float(w)
+        else:
+            # reference default per-pair weight (align_*_weight = 0.33)
+            align_pairs[entry] = 0.33
     loss_kwargs = dict(
         weight_label_zero=args.weight_label_zero_mm,
         do_modality_cl=args.do_modality_cl,
         align_pairs=align_pairs,
+        modality_cl_lw=args.modality_cl_lw,
         cl_temp=args.cl_temp,
         do_topic_mm_cl=args.do_topic_mm_cl,
         topic_cl_type=args.topic_cl_type,
