@@ -25,6 +25,19 @@ EPS = 1e-8
 LABEL_EOT = 1
 
 
+def _l2_normalize(x: Array) -> Array:
+    """Zero-safe cosine normalization.
+
+    ``x / (norm(x) + eps)`` has a NaN GRADIENT at x == 0 (d|x|/dx = x/|x|),
+    and exactly-zero rows are real here: padded clips carry zero features,
+    and LayerNorm of a constant vector is exactly 0 at init (beta = 0) — so
+    the first backward pass of any run with padded clip grids NaN'd the
+    whole fusion tree (caught by the MMVTS e2e parity harness). rsqrt of
+    the +eps'd square sum is finite everywhere."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(sq + EPS * EPS)
+
+
 def ts_loss(
     logits: Array, clip_labels: Array, clip_mask: Array, weight_label_zero: float = 0.5
 ) -> Array:
@@ -45,8 +58,8 @@ def modality_cl_loss(
     b = feats_b.reshape(B * K, H).astype(jnp.float32)
     valid = clip_mask.reshape(B * K).astype(bool)
 
-    an = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + EPS)
-    bn = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + EPS)
+    an = _l2_normalize(a)
+    bn = _l2_normalize(b)
     sim = (an @ bn.T) / temp
     exp_sim = jnp.where(valid[None, :], jnp.exp(sim), 0.0)
     numerator = jnp.exp(jnp.sum(an * bn, axis=-1) / temp) + EPS
@@ -85,7 +98,7 @@ def topic_cl_matrix_loss(
     f = fused.reshape(B * K, H).astype(jnp.float32)
     flat_ids = ids.reshape(-1)
     flat_valid = valid.reshape(-1)
-    fn = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + EPS)
+    fn = _l2_normalize(f)
     sim = (fn @ fn.T) / temp
     M = B * K
     eye = jnp.eye(M, dtype=bool)
@@ -210,7 +223,7 @@ def topic_cl_list_loss(
     valid anchors; 0 when none."""
     B, K, H = fused.shape
     f = fused.reshape(B * K, H).astype(jnp.float32)
-    fn = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + EPS)
+    fn = _l2_normalize(f)
     valid = indices["anchor_valid"].astype(bool)  # (M,)
 
     def sims(idx):  # (n, M) -> (n, M) cosine per anchor

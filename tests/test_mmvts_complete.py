@@ -234,3 +234,36 @@ def test_multimodal_cli_loads_pretrained_text_trunk(tmp_path):
     ])
     assert np.isfinite(res["history"][-1]["total_loss"])
     assert "clip_f1" in res["eval"]
+
+
+def test_cl_losses_finite_grads_with_zero_pad_rows():
+    """Regression: cosine normalization x/(|x|+eps) has a NaN GRADIENT at
+    x == 0, and exactly-zero rows are real (padded clips; LayerNorm of a
+    constant vector is exactly 0 at init). The first backward pass of the
+    MMVTS e2e parity run NaN'd the whole fusion tree through this."""
+    from spokennlp_tpu.objectives.mmvts_losses import (
+        modality_cl_loss, topic_cl_matrix_loss)
+
+    rng = np.random.default_rng(0)
+    B, K, H = 2, 6, 8
+    a = rng.normal(size=(B, K, H)).astype(np.float32)
+    b = rng.normal(size=(B, K, H)).astype(np.float32)
+    labels = rng.integers(0, 2, size=(B, K)).astype(np.int32)
+    mask = np.ones((B, K), np.int32)
+    mask[:, 4:] = 0
+    a[:, 4:] = 0.0
+    b[:, 4:] = 0.0
+
+    l, (ga, gb) = jax.value_and_grad(
+        lambda a, b: modality_cl_loss(a, b, jnp.asarray(mask), 0.1),
+        argnums=(0, 1),
+    )(jnp.asarray(a), jnp.asarray(b))
+    assert np.isfinite(float(l))
+    assert bool(jnp.all(jnp.isfinite(ga))) and bool(jnp.all(jnp.isfinite(gb)))
+
+    l2, gf = jax.value_and_grad(
+        lambda f: topic_cl_matrix_loss(f, jnp.asarray(labels),
+                                       jnp.asarray(mask), 0.1)
+    )(jnp.asarray(a))
+    assert np.isfinite(float(l2))
+    assert bool(jnp.all(jnp.isfinite(gf)))
