@@ -70,6 +70,15 @@ def topic_segment_ids(eop_labels: Array, eop_mask: Array):
     return ids, valid, n_topics.sum()
 
 
+def _l2_normalize(x):
+    """Zero-safe cosine normalization: x/(max(|x|,eps)) still has a NaN
+    GRADIENT at x == 0 (the 0/0 of d|x|/dx propagates through maximum's
+    zero cotangent as 0*nan). rsqrt of the +eps'd square sum is finite
+    everywhere (same fix as objectives/mmvts_losses.py)."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(sq + 1e-16)
+
+
 def pairwise_similarity(x: Array, y: Array, temp: float) -> Array:
     """Similarity matrix matching the reference Similarity module
     (utils.py:90-108): cosine / temp, or raw dot product when temp == 0."""
@@ -77,8 +86,8 @@ def pairwise_similarity(x: Array, y: Array, temp: float) -> Array:
     y = y.astype(jnp.float32)
     if temp == 0:
         return x @ y.T
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-    yn = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
+    xn = _l2_normalize(x)
+    yn = _l2_normalize(y)
     return (xn @ yn.T) / temp
 
 
@@ -152,8 +161,8 @@ def list_cl_loss(
         other = feats[idx]
         if temp == 0:
             return jnp.sum(anchors * other, axis=-1)
-        an = anchors / jnp.maximum(jnp.linalg.norm(anchors, axis=-1, keepdims=True), 1e-8)
-        on = other / jnp.maximum(jnp.linalg.norm(other, axis=-1, keepdims=True), 1e-8)
+        an = _l2_normalize(anchors)
+        on = _l2_normalize(other)
         return jnp.sum(an * on, axis=-1) / temp
 
     pos_sim = jax.vmap(sim_rows)(positive_indices)  # (P, A)
@@ -190,8 +199,8 @@ def eop_pair_cosine_similarity(
 
     a = eop_features.astype(jnp.float32)
     b = next_feats.astype(jnp.float32)
-    an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-8)
-    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-8)
+    an = _l2_normalize(a)
+    bn = _l2_normalize(b)
     cos = jnp.sum(an * bn, axis=-1)
     if temp != 0:
         cos = cos / temp
