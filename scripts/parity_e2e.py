@@ -127,9 +127,16 @@ def write_corpus(data_dir: str, seed: int, n_train=48, n_dev=12, n_test=12):
 
 
 def build_assets(workdir: str, seed: int = 0, hidden=64, layers=2, heads=4,
-                 intermediate=128):
-    """vocab + corpus + one randomly-initialized tiny HF BERT checkpoint that
-    BOTH frameworks start from (the shared-trunk contract of the gate)."""
+                 intermediate=128, trunk: str = "bert",
+                 max_seq_length: int = 128, attention_window: int = 16):
+    """vocab + corpus + one randomly-initialized tiny HF checkpoint that
+    BOTH frameworks start from (the shared-trunk contract of the gate).
+
+    ``trunk="longformer"`` builds an HF LongformerModel instead — the
+    reference's FLAGSHIP configuration (run_finetune.sh model_name=
+    longformer_base; wrapper longformer_for_ts.py:19-120 with CLS global
+    attention). The JAX side then exercises the sliding-window attention
+    type + the roberta position style through hf_convert."""
     import torch
     from transformers import BertConfig, BertModel, BertTokenizer
 
@@ -143,18 +150,36 @@ def build_assets(workdir: str, seed: int = 0, hidden=64, layers=2, heads=4,
     tok = BertTokenizer(vocab_file=vocab_path, do_lower_case=True)
     n_vocab = tok.vocab_size
     torch.manual_seed(seed)
-    cfg = BertConfig(
-        vocab_size=n_vocab,
-        hidden_size=hidden,
-        num_hidden_layers=layers,
-        num_attention_heads=heads,
-        intermediate_size=intermediate,
-        max_position_embeddings=512,
-    )
-    BertModel(cfg).save_pretrained(model_dir)
+    if trunk == "longformer":
+        from transformers import LongformerConfig, LongformerModel
+
+        cfg = LongformerConfig(
+            vocab_size=n_vocab,
+            hidden_size=hidden,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            intermediate_size=intermediate,
+            # HF Longformer (roberta-style) positions run to
+            # seq_len + pad_token_id + 1
+            max_position_embeddings=max_seq_length + 8,
+            type_vocab_size=1,
+            attention_window=[attention_window] * layers,
+            pad_token_id=tok.pad_token_id,
+        )
+        LongformerModel(cfg).save_pretrained(model_dir)
+    else:
+        cfg = BertConfig(
+            vocab_size=n_vocab,
+            hidden_size=hidden,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            intermediate_size=intermediate,
+            max_position_embeddings=512,
+        )
+        BertModel(cfg).save_pretrained(model_dir)
     tok.save_pretrained(model_dir)
     return {"workdir": workdir, "vocab": vocab_path, "data_dir": data_dir,
-            "model_dir": model_dir, "hidden": hidden}
+            "model_dir": model_dir, "hidden": hidden, "trunk": trunk}
 
 
 # --------------------------------------------------------------------------
@@ -183,6 +208,7 @@ class HP:
     focal_loss_gamma: float = 0.0
     weight_decay: float = 0.01
     dropout: float = 0.1
+    trunk: str = "bert"  # bert | longformer (the reference flagship)
 
 
 # --------------------------------------------------------------------------
@@ -196,7 +222,7 @@ def _torch_oracle_classes():
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
-    from transformers import BertModel
+    from transformers import AutoModel
 
     class OracleCSSL:
         """Reference CSSL semantics (cssl.py:11-274): topic ids from the
@@ -312,7 +338,7 @@ def _torch_oracle_classes():
         def __init__(self, model_dir: str, hp: HP, sampling_seed: int = 0):
             super().__init__()
             self.hp = hp
-            self.bert = BertModel.from_pretrained(model_dir)
+            self.bert = AutoModel.from_pretrained(model_dir)
             h = self.bert.config.hidden_size
             self.dropout = nn.Dropout(hp.dropout)
             self.classifier = nn.Linear(h, 2)
@@ -339,12 +365,29 @@ def _torch_oracle_classes():
                 ignore_index=IGNORE,
             )
 
-        def encode(self, batch, view: int):
-            out = self.bert(
-                input_ids=batch["input_ids"][:, view],
-                attention_mask=batch["attention_mask"][:, view],
-                token_type_ids=batch["token_type_ids"][:, view],
+        def backbone(self, input_ids, attention_mask, token_type_ids=None):
+            if self.bert.config.model_type == "longformer":
+                # reference wrapper: CLS global attention
+                # (longformer_for_ts.py:55-58); Longformer has no segments
+                gm = torch.zeros_like(attention_mask)
+                gm[:, 0] = 1
+                return self.bert(
+                    input_ids=input_ids,
+                    attention_mask=attention_mask,
+                    global_attention_mask=gm,
+                ).last_hidden_state
+            return self.bert(
+                input_ids=input_ids,
+                attention_mask=attention_mask,
+                token_type_ids=token_type_ids,
             ).last_hidden_state
+
+        def encode(self, batch, view: int):
+            out = self.backbone(
+                batch["input_ids"][:, view],
+                batch["attention_mask"][:, view],
+                batch["token_type_ids"][:, view],
+            )
             return self.dropout(out)
 
         def forward(self, batch):
@@ -408,15 +451,11 @@ def evaluate_torch(oracle, eval_docs, wcfg):
     logits_all = []
     with torch.no_grad():
         for s in range(0, batch["input_ids"].shape[0], 32):
-            out = oracle.bert(
-                input_ids=torch.from_numpy(batch["input_ids"][s : s + 32]).long(),
-                attention_mask=torch.from_numpy(
-                    batch["attention_mask"][s : s + 32]
-                ).long(),
-                token_type_ids=torch.from_numpy(
-                    batch["token_type_ids"][s : s + 32]
-                ).long(),
-            ).last_hidden_state
+            out = oracle.backbone(
+                torch.from_numpy(batch["input_ids"][s : s + 32]).long(),
+                torch.from_numpy(batch["attention_mask"][s : s + 32]).long(),
+                torch.from_numpy(batch["token_type_ids"][s : s + 32]).long(),
+            )
             logits_all.append(oracle.classifier(out).numpy())
     logits = np.concatenate(logits_all, axis=0)
 
@@ -601,7 +640,8 @@ def check_tokenizer_parity(assets):
 
 
 def run_parity(workdir: str, hp: HP, gate: float = 0.2):
-    assets = build_assets(workdir, seed=0)
+    assets = build_assets(workdir, seed=0, trunk=hp.trunk,
+                          max_seq_length=hp.max_seq_length)
     check_tokenizer_parity(assets)
     torch_metrics = run_torch(assets, hp)
     jax_metrics = run_jax(assets, hp)
@@ -630,6 +670,7 @@ def main():
     p.add_argument("--epochs", type=float, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--gate", type=float, default=0.2)
+    p.add_argument("--trunk", default="bert", choices=["bert", "longformer"])
     p.add_argument("--allow_tpu", action="store_true",
                    help="don't force the CPU backend (torch side is CPU "
                    "either way; comparison is then cross-device)")
@@ -643,6 +684,8 @@ def main():
         hp = dataclasses.replace(hp, epochs=args.epochs)
     if args.lr is not None:
         hp = dataclasses.replace(hp, learning_rate=args.lr)
+    if args.trunk != "bert":
+        hp = dataclasses.replace(hp, trunk=args.trunk)
     result = run_parity(args.workdir, hp, args.gate)
     sys.exit(0 if result["pass"] else 1)
 

@@ -176,7 +176,7 @@ def hf_longformer_config_to_encoder_config(hf_config, **overrides) -> EncoderCon
         hidden_dropout=hf_config.hidden_dropout_prob,
         attention_dropout=hf_config.attention_probs_dropout_prob,
         hidden_act=hf_config.hidden_act,
-        pad_token_id=hf_config.pad_token_id or 1,
+        pad_token_id=1 if hf_config.pad_token_id is None else hf_config.pad_token_id,
         attention_type="sliding_window",
         attention_window=window,
         position_style="roberta",
