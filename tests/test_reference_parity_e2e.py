@@ -61,3 +61,13 @@ def test_committed_parity_artifact_passes_gate():
     assert result["abs_delta"]["wd"] <= 0.2
     assert result["torch"]["pk"] < 0.3
     assert result["jax"]["pk"] < 0.3
+
+
+def test_parity_harness_smoke_longformer(tmp_path):
+    """The reference-flagship trunk (sliding-window attention + roberta
+    positions through hf_convert) drives end-to-end through both sides."""
+    hp = dataclasses.replace(parity_e2e.HP(), epochs=1.0, trunk="longformer")
+    result = parity_e2e.run_parity(str(tmp_path), hp)
+    for side in ("torch", "jax"):
+        assert 0.0 <= result[side]["pk"] <= 1.0
+        assert result[side]["train_steps"] >= 1
