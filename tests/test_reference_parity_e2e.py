@@ -71,3 +71,17 @@ def test_parity_harness_smoke_longformer(tmp_path):
     for side in ("torch", "jax"):
         assert 0.0 <= result[side]["pk"] <= 1.0
         assert result[side]["train_steps"] >= 1
+
+
+def test_committed_longformer_parity_artifact_passes_gate():
+    """Converged flagship-config artifact (sliding-window trunk)."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "PARITY_E2E_LONGFORMER.json"
+    )
+    with open(path) as f:
+        result = json.load(f)
+    assert result["pass"]
+    assert result["hp"]["trunk"] == "longformer"
+    assert result["abs_delta"]["pk"] <= 0.2
+    assert result["torch"]["pk"] < 0.3
+    assert result["jax"]["pk"] < 0.3
