@@ -167,6 +167,26 @@ def build_assets(workdir: str, seed: int = 0, hidden=64, layers=2, heads=4,
             pad_token_id=tok.pad_token_id,
         )
         LongformerModel(cfg).save_pretrained(model_dir)
+    elif trunk == "bigbird":
+        from transformers import BigBirdConfig, BigBirdModel
+
+        cfg = BigBirdConfig(
+            vocab_size=n_vocab,
+            hidden_size=hidden,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            intermediate_size=intermediate,
+            max_position_embeddings=max_seq_length + 8,
+            # the oracle runs exact attention at this tiny scale (HF
+            # auto-falls-back below the block-sparse minimum anyway); our
+            # side converts to attention_type="bigbird" and runs the
+            # block-sparse path with these structural params
+            attention_type="original_full",
+            block_size=16,
+            num_random_blocks=2,
+            pad_token_id=tok.pad_token_id,
+        )
+        BigBirdModel(cfg).save_pretrained(model_dir)
     else:
         cfg = BertConfig(
             vocab_size=n_vocab,
@@ -208,7 +228,7 @@ class HP:
     focal_loss_gamma: float = 0.0
     weight_decay: float = 0.01
     dropout: float = 0.1
-    trunk: str = "bert"  # bert | longformer (the reference flagship)
+    trunk: str = "bert"  # bert | longformer (flagship) | bigbird
 
 
 # --------------------------------------------------------------------------
@@ -670,7 +690,7 @@ def main():
     p.add_argument("--epochs", type=float, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--gate", type=float, default=0.2)
-    p.add_argument("--trunk", default="bert", choices=["bert", "longformer"])
+    p.add_argument("--trunk", default="bert", choices=["bert", "longformer", "bigbird"])
     p.add_argument("--allow_tpu", action="store_true",
                    help="don't force the CPU backend (torch side is CPU "
                    "either way; comparison is then cross-device)")
