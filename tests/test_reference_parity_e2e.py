@@ -85,3 +85,18 @@ def test_committed_longformer_parity_artifact_passes_gate():
     assert result["abs_delta"]["pk"] <= 0.2
     assert result["torch"]["pk"] < 0.3
     assert result["jax"]["pk"] < 0.3
+
+
+def test_committed_bigbird_parity_artifact_passes_gate():
+    """Converged block-sparse-trunk artifact (exact-attention torch oracle
+    vs our bigbird attention type)."""
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "PARITY_E2E_BIGBIRD.json"
+    )
+    with open(path) as f:
+        result = json.load(f)
+    assert result["pass"]
+    assert result["hp"]["trunk"] == "bigbird"
+    assert result["abs_delta"]["pk"] <= 0.2
+    assert result["torch"]["pk"] < 0.3
+    assert result["jax"]["pk"] < 0.3
