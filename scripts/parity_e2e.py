@@ -187,6 +187,20 @@ def build_assets(workdir: str, seed: int = 0, hidden=64, layers=2, heads=4,
             pad_token_id=tok.pad_token_id,
         )
         BigBirdModel(cfg).save_pretrained(model_dir)
+    elif trunk == "electra":
+        from transformers import ElectraConfig, ElectraModel
+
+        cfg = ElectraConfig(
+            vocab_size=n_vocab,
+            embedding_size=hidden,
+            hidden_size=hidden,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            intermediate_size=intermediate,
+            max_position_embeddings=512,
+            pad_token_id=tok.pad_token_id,
+        )
+        ElectraModel(cfg).save_pretrained(model_dir)
     else:
         cfg = BertConfig(
             vocab_size=n_vocab,
@@ -228,7 +242,7 @@ class HP:
     focal_loss_gamma: float = 0.0
     weight_decay: float = 0.01
     dropout: float = 0.1
-    trunk: str = "bert"  # bert | longformer (flagship) | bigbird
+    trunk: str = "bert"  # bert | longformer (flagship) | bigbird | electra
 
 
 # --------------------------------------------------------------------------
@@ -690,7 +704,7 @@ def main():
     p.add_argument("--epochs", type=float, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--gate", type=float, default=0.2)
-    p.add_argument("--trunk", default="bert", choices=["bert", "longformer", "bigbird"])
+    p.add_argument("--trunk", default="bert", choices=["bert", "longformer", "bigbird", "electra"])
     p.add_argument("--allow_tpu", action="store_true",
                    help="don't force the CPU backend (torch side is CPU "
                    "either way; comparison is then cross-device)")
