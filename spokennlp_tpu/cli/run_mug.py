@@ -30,6 +30,13 @@ def main(argv=None):
     p.add_argument("--eval_file", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--model_name_or_path", default=None)
+    p.add_argument("--vocab_file", default=None,
+                   help="WordPiece vocab for the built-in FullTokenizer")
+    p.add_argument("--init_checkpoint", default=None,
+                   help="native checkpoint dir (params.msgpack [+config.json])"
+                        " to initialize the PoNet trunk (+head) from — the"
+                        " from_pretrained equivalent of the reference"
+                        " (modeling_ponet.py:41)")
     p.add_argument("--max_seq_length", type=int, default=512)
     p.add_argument("--per_device_train_batch_size", type=int, default=4)
     p.add_argument("--num_train_epochs", type=int, default=2)
@@ -60,11 +67,18 @@ def main(argv=None):
     from spokennlp_tpu.train.train_step import create_train_state
 
     ns = argparse.Namespace(model_name_or_path=args.model_name_or_path,
-                            vocab_file=None)
+                            vocab_file=args.vocab_file)
     tokenize_fn, special = common.resolve_tokenizer(ns)
     eos_id = special.get("sep", 102)
 
-    enc_cfg = EncoderConfig(
+    ckpt_params = ckpt_cfg = None
+    if args.init_checkpoint:
+        from spokennlp_tpu.models import checkpoint_io
+
+        ckpt_params, ckpt_cfg = checkpoint_io.load_checkpoint(
+            args.init_checkpoint)
+
+    enc_cfg = ckpt_cfg if ckpt_cfg is not None else EncoderConfig(
         vocab_size=special["vocab_size"],
         hidden_size=args.hidden_size,
         num_layers=args.num_hidden_layers,
@@ -119,6 +133,15 @@ def main(argv=None):
             segment_ids=jnp.zeros((1, L), jnp.int32),
             deterministic=True,
         )["params"]
+        if ckpt_params is not None:
+            # full-model tree, or a bare trunk (hf_convert.ponet_to_encoder_
+            # params output) that keeps the fresh classifier head
+            if "ponet" in ckpt_params:
+                params = jax.tree_util.tree_map(jnp.asarray, ckpt_params)
+            else:
+                params = dict(params)
+                params["ponet"] = jax.tree_util.tree_map(
+                    jnp.asarray, ckpt_params)
         tx = optax.adamw(args.learning_rate, weight_decay=0.01)
         state = create_train_state(params, tx)
         step_fn = make_ponet_train_step(model, tx)
