@@ -243,6 +243,10 @@ class HP:
     weight_decay: float = 0.01
     dropout: float = 0.1
     trunk: str = "bert"  # bert | longformer (flagship) | bigbird | electra
+    # "lt" (linear head) or "cos" (BCE on adjacent-eop cosine; the reference
+    # --ts_score_predictor cos side path, loss_calculator.py:45-48)
+    ts_score_predictor: str = "lt"
+    cos_temp: float = 1.0
 
 
 # --------------------------------------------------------------------------
@@ -379,6 +383,30 @@ def _torch_oracle_classes():
             self.tssp_classifier = nn.Linear(h, 3)
             self.cssl = OracleCSSL(hp, random.Random(sampling_seed))
 
+        def _cos_ts_loss(self, seq_out, labels):
+            # loss_calculator.py:45-48 + utils.py:111-138: BCE-with-logits on
+            # cos(feat_i, feat_{(i+1) mod n}) / temp at live-label positions,
+            # target = the 0/1 label (1 = O = same topic => similar). The
+            # reference also feeds its -100 PADDING entries into the BCE —
+            # those are constants (no gradient) that only shift the loss
+            # VALUE by a huge negative offset, so we drop them: training
+            # trajectories are identical, loss values are sane.
+            sims_all, labs_all = [], []
+            for ex_out, ex_lab in zip(seq_out, labels):
+                m = ex_lab != IGNORE
+                feats = ex_out[m]
+                n = feats.shape[0]
+                if n == 0:
+                    continue
+                nxt = feats[(torch.arange(n) + 1) % n]
+                cos = F.cosine_similarity(feats, nxt, dim=-1) / self.hp.cos_temp
+                sims_all.append(cos)
+                labs_all.append(ex_lab[m].float())
+            if not sims_all:
+                return torch.zeros((), requires_grad=True)
+            return F.binary_cross_entropy_with_logits(
+                torch.cat(sims_all), torch.cat(labs_all))
+
         def _ts_loss(self, logits, labels):
             # utils.py:173-182 loss factory
             weight = None
@@ -428,8 +456,12 @@ def _torch_oracle_classes():
             hp = self.hp
             anchor = self.encode(batch, 0)
             anchor_labels = batch["labels"][:, 0]
-            logits = self.classifier(anchor)
-            loss = hp.ts_loss_weight * self._ts_loss(logits, anchor_labels)
+            if hp.ts_score_predictor == "cos":
+                loss = hp.ts_loss_weight * self._cos_ts_loss(
+                    anchor, anchor_labels)
+            else:
+                logits = self.classifier(anchor)
+                loss = hp.ts_loss_weight * self._ts_loss(logits, anchor_labels)
 
             if hp.cl_loss_weight != 0:
                 cl = self.cssl(anchor, anchor_labels)
@@ -439,8 +471,13 @@ def _torch_oracle_classes():
             # DA view: ts loss again + TSSP (bert_for_ts.py:98-109)
             da = self.encode(batch, 1)
             da_labels = batch["labels"][:, 1]
-            da_logits = self.classifier(da)
-            loss = loss + hp.ts_loss_weight * self._ts_loss(da_logits, da_labels)
+            if hp.ts_score_predictor == "cos":
+                loss = loss + hp.ts_loss_weight * self._cos_ts_loss(
+                    da, da_labels)
+            else:
+                da_logits = self.classifier(da)
+                loss = loss + hp.ts_loss_weight * self._ts_loss(
+                    da_logits, da_labels)
 
             if hp.tssp_loss_weight != 0:
                 # tssp.py:16-36: sentence features at every BOS, CE on the
@@ -482,7 +519,8 @@ def evaluate_torch(oracle, eval_docs, wcfg):
         )
     batch = stack_windows(windows)
     oracle.eval()
-    logits_all = []
+    cos_mode = oracle.hp.ts_score_predictor == "cos"
+    outs_all = []
     with torch.no_grad():
         for s in range(0, batch["input_ids"].shape[0], 32):
             out = oracle.backbone(
@@ -490,15 +528,26 @@ def evaluate_torch(oracle, eval_docs, wcfg):
                 torch.from_numpy(batch["attention_mask"][s : s + 32]).long(),
                 torch.from_numpy(batch["token_type_ids"][s : s + 32]).long(),
             )
-            logits_all.append(oracle.classifier(out).numpy())
-    logits = np.concatenate(logits_all, axis=0)
+            outs_all.append(out if cos_mode else oracle.classifier(out))
+    outs = torch.cat(outs_all, dim=0)
 
     preds, refs = [], []
     for i in range(len(windows)):
         live = batch["labels"][i] != IGNORE
-        if live.any():
-            preds.append(np.argmax(logits[i][live], -1).tolist())
-            refs.append(batch["labels"][i][live].tolist())
+        if not live.any():
+            continue
+        if cos_mode:
+            # reference predict path (ts_sentence_seq_labeling.py:1153-1158):
+            # sigmoid(cos/temp) > 0.5 => class 1 (O / same topic)
+            feats = outs[i][torch.from_numpy(live)]
+            n = feats.shape[0]
+            nxt = feats[(torch.arange(n) + 1) % n]
+            cos = (torch.nn.functional.cosine_similarity(feats, nxt, dim=-1)
+                   / oracle.hp.cos_temp)
+            preds.append((cos > 0).long().tolist())
+        else:
+            preds.append(outs[i].numpy()[live].argmax(-1).tolist())
+        refs.append(batch["labels"][i][live].tolist())
     prf = seg_metrics.boundary_prf(preds, refs)
     wm = seg_metrics.compute_window_metric(
         [[1 if v == 0 else 0 for v in p] for p in preds],
@@ -636,6 +685,8 @@ def run_jax(assets, hp: HP):
         "--weight_label_zero", str(hp.weight_label_zero),
         "--focal_loss_gamma", str(hp.focal_loss_gamma),
         "--do_da_ts", "--do_tssp",
+        "--ts_score_predictor", hp.ts_score_predictor,
+        "--ts_score_predictor_cos_temp", str(hp.cos_temp),
         "--dtype", "float32",
     ]
     res = run_finetune.main(argv)
@@ -705,6 +756,7 @@ def main():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--gate", type=float, default=0.2)
     p.add_argument("--trunk", default="bert", choices=["bert", "longformer", "bigbird", "electra"])
+    p.add_argument("--score_predictor", default="lt", choices=["lt", "cos"])
     p.add_argument("--allow_tpu", action="store_true",
                    help="don't force the CPU backend (torch side is CPU "
                    "either way; comparison is then cross-device)")
@@ -720,6 +772,8 @@ def main():
         hp = dataclasses.replace(hp, learning_rate=args.lr)
     if args.trunk != "bert":
         hp = dataclasses.replace(hp, trunk=args.trunk)
+    if args.score_predictor != "lt":
+        hp = dataclasses.replace(hp, ts_score_predictor=args.score_predictor)
     result = run_parity(args.workdir, hp, args.gate)
     sys.exit(0 if result["pass"] else 1)
 

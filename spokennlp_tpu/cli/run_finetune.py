@@ -162,6 +162,8 @@ def main_single(args):
             threshold=args.threshold,
             topk=args.topk,
             f1_at_k=args.f1_at_k,
+            ts_score_predictor=args.ts_score_predictor,
+            cos_temp=args.ts_score_predictor_cos_temp,
         )
         results.update({f"predict_{k}": v for k, v in out["metrics"].items()})
 

@@ -256,19 +256,50 @@ class TopicSegTrainer:
         if not windows:
             return {}
         batch = stack_windows(windows)
-        # gather_sents: logits fetched only at sentence positions (same
-        # transfer cut as the inference engine; labels at those slots are
-        # batch["sent_labels"])
-        logits = predict_windows_scanned(
-            self.model, self.state.params, batch, self.batch_size,
-            mesh=self.mesh, gather_sents=True,
-        )
         preds, refs = [], []
-        for i in range(len(windows)):
-            live = batch["sent_labels"][i] != -100
-            if live.any():
-                preds.append(np.argmax(logits[i][live], -1).tolist())
-                refs.append(batch["sent_labels"][i][live].tolist())
+        if self.task_cfg.ts_score_predictor == "cos":
+            # cos mode: the linear head carries no ts gradient — window
+            # predictions come from sigmoid(adjacent-eop cosine) > 0.5
+            # (reference eval path, ts_sentence_seq_labeling.py:1042-1048)
+            from spokennlp_tpu.eval.inference import make_cos_predict_fn
+
+            predict = make_cos_predict_fn(
+                self.model, self.state.params,
+                self.task_cfg.ts_score_predictor_cos_temp,
+            )
+            N = batch["input_ids"].shape[0]
+            B = self.batch_size
+            sims = np.zeros(batch["sent_positions"].shape, np.float32)
+            for s in range(0, N, B):
+                e = min(s + B, N)
+                pad = B - (e - s)
+                parts = []
+                for key in ("input_ids", "attention_mask", "token_type_ids",
+                            "sent_positions", "eop_mask", "labels"):
+                    a = batch[key][s:e]
+                    if pad:
+                        a = np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                    parts.append(jnp.asarray(a))
+                sims[s:e] = np.asarray(predict(*parts))[: e - s]
+            for i in range(len(windows)):
+                m = batch["eop_mask"][i].astype(bool)
+                if m.any():
+                    preds.append([1 if v > 0.5 else 0 for v in sims[i][m]])
+                    refs.append(
+                        batch["sent_labels"][i][m].astype(int).tolist())
+        else:
+            # gather_sents: logits fetched only at sentence positions (same
+            # transfer cut as the inference engine; labels at those slots are
+            # batch["sent_labels"])
+            logits = predict_windows_scanned(
+                self.model, self.state.params, batch, self.batch_size,
+                mesh=self.mesh, gather_sents=True,
+            )
+            for i in range(len(windows)):
+                live = batch["sent_labels"][i] != -100
+                if live.any():
+                    preds.append(np.argmax(logits[i][live], -1).tolist())
+                    refs.append(batch["sent_labels"][i][live].tolist())
         # multi-host: gather every process's windows before scoring (the
         # reference's accelerator.gather_for_metrics; no-op single-host)
         preds = dist_lib.allgather_ragged(preds)

@@ -63,6 +63,30 @@ def test_committed_parity_artifact_passes_gate():
     assert result["jax"]["pk"] < 0.3
 
 
+def test_parity_harness_smoke_cos(tmp_path):
+    """ts_score_predictor=cos drives end-to-end through both sides: the
+    torch oracle's BCE-on-adjacent-eop-cosine loss + cos>0 predictions vs
+    run_finetune --ts_score_predictor cos (trainer.evaluate cos branch)."""
+    hp = dataclasses.replace(parity_e2e.HP(), epochs=1.0,
+                             ts_score_predictor="cos")
+    result = parity_e2e.run_parity(str(tmp_path), hp)
+    for side in ("torch", "jax"):
+        assert 0.0 <= result[side]["pk"] <= 1.0
+        assert result[side]["train_steps"] >= 1
+
+
+def test_committed_cos_parity_artifact_passes_gate():
+    """Converged cos-score-predictor artifact."""
+    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_E2E_COS.json")
+    with open(path) as f:
+        result = json.load(f)
+    assert result["pass"]
+    assert result["hp"]["ts_score_predictor"] == "cos"
+    assert result["abs_delta"]["pk"] <= 0.2
+    assert result["torch"]["pk"] < 0.35
+    assert result["jax"]["pk"] < 0.35
+
+
 def test_parity_harness_smoke_longformer(tmp_path):
     """The reference-flagship trunk (sliding-window attention + roberta
     positions through hf_convert) drives end-to-end through both sides."""

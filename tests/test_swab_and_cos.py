@@ -84,6 +84,66 @@ def test_cos_predictor_inference():
         assert np.all((res["scores"] >= 0) & (res["scores"] <= 1))
 
 
+def test_trainer_evaluate_cos_mode(tmp_path):
+    """trainer.evaluate in ts_score_predictor=cos mode scores windows from
+    sigmoid(adjacent-eop cosine) > 0.5, NOT from the (gradient-free in cos
+    mode) linear head: predictions must match a hand-computed cosine walk
+    over the same windows."""
+    from spokennlp_tpu.configs import TrainConfig
+    from spokennlp_tpu.data.windowing import stack_windows, window_document
+    from spokennlp_tpu.train.trainer import TopicSegTrainer
+
+    rng = np.random.default_rng(1)
+    docs = [
+        {
+            "sent_token_ids": [
+                rng.integers(10, 250, size=rng.integers(2, 5)).tolist()
+                for _ in range(int(rng.integers(4, 8)))
+            ],
+            "labels": rng.integers(0, 2, size=0).tolist(),
+        }
+        for _ in range(4)
+    ]
+    for d in docs:
+        d["labels"] = rng.integers(0, 2, size=len(d["sent_token_ids"])).tolist()
+    task = TopicSegConfig(ts_score_predictor="cos")
+    model = TopicSegModel(ENC, task)
+    tcfg = TrainConfig(num_train_epochs=1, per_device_batch_size=2,
+                       gradient_accumulation_steps=1, checkpoint_dir=None)
+    trainer = TopicSegTrainer(model, task, tcfg, WCFG, docs, eval_docs=docs,
+                              log_path=str(tmp_path / "m.jsonl"))
+    metrics = trainer.evaluate()
+    assert {"f1", "pk", "wd"} <= set(metrics)
+
+    # oracle: forward each window, cosine walk at live slots with wrap-around
+    windows = []
+    for eid, d in enumerate(docs):
+        windows.extend(window_document(d["sent_token_ids"], d["labels"], WCFG, eid))
+    batch = stack_windows(windows)
+    out = model.apply(
+        {"params": trainer.state.params},
+        jnp.asarray(batch["input_ids"]),
+        attention_mask=jnp.asarray(batch["attention_mask"]),
+        deterministic=True,
+    )
+    seq = np.asarray(out["seq_output"], np.float32)
+    preds, refs = [], []
+    for i in range(len(windows)):
+        live = np.where(batch["labels"][i] != -100)[0]
+        if live.size == 0:
+            continue
+        feats = seq[i][live]
+        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+        nxt = feats[(np.arange(len(live)) + 1) % len(live)]
+        cos = (feats * nxt).sum(-1)
+        preds.append([1 if v > 0 else 0 for v in cos])
+        refs.append(batch["labels"][i][live].tolist())
+    from spokennlp_tpu.eval import seg_metrics
+
+    prf = seg_metrics.boundary_prf(preds, refs)
+    assert metrics["f1"] == pytest.approx(prf["overall_f1"], abs=1e-6)
+
+
 def test_multi_seed_cli(tmp_path):
     from spokennlp_tpu.cli import run_finetune
 
