@@ -1,0 +1,403 @@
+"""Cross-framework end-to-end quality-parity harness #7: MUG Track 4
+(BERT-CRF keyphrase extraction).
+
+Companion to parity_e2e / parity_aid / parity_sld / parity_mmvts /
+parity_ditto / parity_mug. The reference delegates Track 4 to the external
+AdaSeq Bert-CRF recipe (reference: alimeeting4mug/src/keyphrase_extraction/
+README.md:13-23 — train a char-level BIO tagger, aggregate tagged spans,
+score with the challenge's fuzzy-LCS metric at @10/15/20); this harness
+proves our scan-based CRF training + Viterbi decode stack end-to-end:
+it fine-tunes, on the SAME synthetic char-level meeting corpus and from the
+SAME randomly-initialized HF BERT trunk,
+
+  (a) a torch oracle (HF BertModel + linear emissions + a linear-chain CRF
+      with the standard masked forward-algorithm likelihood and Viterbi
+      decode — the AdaSeq/torchcrf semantics, and exactly the contract of
+      ops/crf.py), and
+
+  (b) this framework's own run_mug CLI (--track keyphrase
+      --init_checkpoint <shared converted trunk>),
+
+then scores BOTH sides with the official challenge evaluator
+(projects/mug/evaluate.py:keyphrase_extraction_evaluate — the reference's
+challenge_evaluate.py:499-518 fuzzy-LCS formulas) and compares exact
+F1@15. Both sides share the host featurization (char-aligned ids + BIO
+tags via projects/mug/keyphrase.py helpers) and the span aggregation
+(extract_keyphrases); parity is metrics-level at convergence.
+
+The synthetic corpus draws keyphrases from a small global pool of trigrams
+over a RESERVED character range (q-z) while background text uses a-p, so
+tagging is learnable (memorize the pool) and exact-match BIO labels are
+noise-free. Both models converge near F1 1.0.
+
+Usage:  python scripts/parity_kpe.py --workdir /tmp/parity_kpe
+Pytest: tests/test_reference_parity_kpe.py. Committed artifact:
+PARITY_KPE.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# --------------------------------------------------------------------------
+# hyperparameters (shared by both sides)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HP:
+    hidden: int = 48
+    num_heads: int = 4
+    num_layers: int = 2
+    intermediate: int = 96
+    max_seq_length: int = 48
+    epochs: int = 10
+    learning_rate: float = 5e-4
+    batch_size: int = 8
+    seed: int = 0
+    top_k: int = 15
+
+
+# --------------------------------------------------------------------------
+# synthetic char-level corpus (background a-p, keyphrases over q-z)
+# --------------------------------------------------------------------------
+
+BACKGROUND = "abcdefghijklmnop"
+KP_CHARS = "qrstuvwxyz"
+POOL_SIZE = 10
+
+
+def keyphrase_pool(rng: np.random.Generator):
+    pool = set()
+    while len(pool) < POOL_SIZE:
+        pool.add("".join(rng.choice(list(KP_CHARS), size=3)))
+    return sorted(pool)
+
+
+def gen_meeting(rng: np.random.Generator, key: str, pool) -> dict:
+    """10-16 sentences of 10-20 background chars; ~60% of sentences carry
+    one pool keyphrase inserted at a random position. Gold = the phrases
+    present in this meeting (single annotator)."""
+    sentences, present = [], set()
+    for _ in range(int(rng.integers(10, 17))):
+        n = int(rng.integers(10, 21))
+        chars = list(rng.choice(list(BACKGROUND), size=n))
+        if rng.random() < 0.6:
+            kp = pool[int(rng.integers(len(pool)))]
+            pos = int(rng.integers(0, n))
+            chars[pos:pos] = list(kp)
+            present.add(kp)
+        sentences.append("".join(chars))
+    return {
+        "meeting_key": key,
+        "sentences": [{"id": i + 1, "s": s} for i, s in enumerate(sentences)],
+        "candidate": [{"key_word": sorted(present)}],
+    }
+
+
+def write_vocab(path: str):
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[BOS]"]
+    with open(path, "w") as f:
+        for w in specials + list(BACKGROUND + KP_CHARS):
+            f.write(w + "\n")
+
+
+def build_assets(workdir: str, hp: HP, n_train: int = 32, n_dev: int = 12):
+    os.makedirs(workdir, exist_ok=True)
+    rng = np.random.default_rng(hp.seed + 21)
+    pool = keyphrase_pool(rng)
+    train = [gen_meeting(rng, f"TR{i:03d}", pool) for i in range(n_train)]
+    dev = [gen_meeting(rng, f"DV{i:03d}", pool) for i in range(n_dev)]
+    paths = {
+        "train": os.path.join(workdir, "train.jsonl"),
+        "dev": os.path.join(workdir, "dev.jsonl"),
+        "vocab": os.path.join(workdir, "vocab.txt"),
+        "model_dir": os.path.join(workdir, "init_ckpt"),
+        "workdir": workdir,
+        "n_vocab": 6 + len(BACKGROUND) + len(KP_CHARS),
+    }
+    for name, meetings in (("train", train), ("dev", dev)):
+        with open(paths[name], "w") as f:
+            for m in meetings:
+                f.write(json.dumps(m) + "\n")
+    write_vocab(paths["vocab"])
+    return paths, train, dev
+
+
+# --------------------------------------------------------------------------
+# shared initial trunk (HF BERT layout -> converted native checkpoint)
+# --------------------------------------------------------------------------
+
+
+def save_shared_trunk(assets, hp: HP):
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from spokennlp_tpu.configs import EncoderConfig
+    from spokennlp_tpu.models import checkpoint_io, hf_convert
+
+    torch.manual_seed(hp.seed + 5)
+    bert_cfg = BertConfig(
+        vocab_size=assets["n_vocab"],
+        hidden_size=hp.hidden,
+        num_hidden_layers=hp.num_layers,
+        num_attention_heads=hp.num_heads,
+        intermediate_size=hp.intermediate,
+        max_position_embeddings=hp.max_seq_length,
+        pad_token_id=0,
+    )
+    bert = BertModel(bert_cfg, add_pooling_layer=False)
+    enc_cfg = EncoderConfig(
+        vocab_size=assets["n_vocab"],
+        hidden_size=hp.hidden,
+        num_layers=hp.num_layers,
+        num_heads=hp.num_heads,
+        intermediate_size=hp.intermediate,
+        max_position_embeddings=hp.max_seq_length,
+        pad_token_id=0,
+        add_pooler=False,
+    )
+    sd = hf_convert.torch_state_dict_to_numpy(bert.state_dict())
+    trunk = hf_convert.bert_to_encoder_params(sd, enc_cfg, prefix="")
+    checkpoint_io.save_checkpoint(assets["model_dir"], trunk, enc_cfg)
+    return bert, enc_cfg
+
+
+# --------------------------------------------------------------------------
+# shared featurization (mirrors run_mug's char-level featurize_kpe)
+# --------------------------------------------------------------------------
+
+
+def featurize(meetings, tokenize_fn, hp: HP, pad_id: int, with_tags: bool):
+    from spokennlp_tpu.projects.mug import data as mug_data
+    from spokennlp_tpu.projects.mug.keyphrase import bio_tags_from_keyphrases
+
+    L = hp.max_seq_length
+    rows = []
+    for m in meetings:
+        parsed = mug_data.parse_keyphrases(m)
+        kps = [list(k) for k in parsed["key_words"]]
+        for sent in parsed["sentences"]:
+            chars = list(sent)[:L]
+            ids = [t[0] if (t := tokenize_fn(c)) else pad_id for c in chars]
+            tags = (bio_tags_from_keyphrases(chars, kps)
+                    if with_tags else [0] * len(chars))
+            n = len(ids)
+            rows.append({
+                "input_ids": np.pad(np.asarray(ids, np.int32), (0, L - n)),
+                "attention_mask": np.pad(np.ones(n, np.int32), (0, L - n)),
+                "tags": np.pad(np.asarray(tags, np.int32), (0, L - n)),
+                "tokens": chars,
+                "meeting_key": parsed["meeting_key"],
+            })
+    return rows
+
+
+# --------------------------------------------------------------------------
+# torch oracle: BertModel + emissions + linear-chain CRF
+# --------------------------------------------------------------------------
+
+
+def run_torch(assets, train_meetings, dev_meetings, hp: HP, bert):
+    import torch
+    import torch.nn.functional as F
+
+    from spokennlp_tpu.projects.mug import data as mug_data
+    from spokennlp_tpu.projects.mug import evaluate as mug_eval
+    from spokennlp_tpu.projects.mug.keyphrase import (
+        NUM_TAGS,
+        extract_keyphrases,
+    )
+    from spokennlp_tpu.utils.tokenization import FullTokenizer
+
+    torch.manual_seed(hp.seed)
+    tok = FullTokenizer.from_vocab_file(assets["vocab"])
+    pad_id = tok.vocab["[PAD]"]
+    train_rows = featurize(train_meetings, tok.encode, hp, pad_id,
+                           with_tags=True)
+
+    T = NUM_TAGS
+    emissions_head = torch.nn.Linear(hp.hidden, T)
+    transitions = torch.nn.Parameter(torch.zeros(T, T))
+
+    def crf_log_likelihood(em, tags, mask):
+        """Masked forward-algorithm mean LL (the ops/crf.py contract: no
+        start/end transitions, position 0 valid, masked steps frozen)."""
+        B, L, _ = em.shape
+        maskf = mask.float()
+        em_sc = em.gather(-1, tags[..., None])[..., 0]
+        score = (em_sc * maskf).sum(1)
+        tr = transitions[tags[:, :-1], tags[:, 1:]]
+        score = score + (tr * maskf[:, 1:]).sum(1)
+        alpha = em[:, 0, :]
+        for t in range(1, L):
+            new = torch.logsumexp(
+                alpha[:, :, None] + transitions[None], dim=1) + em[:, t]
+            keep = mask[:, t].bool()[:, None]
+            alpha = torch.where(keep, new, alpha)
+        return (score - torch.logsumexp(alpha, dim=-1)).mean()
+
+    def viterbi(em, mask):
+        B, L, _ = em.shape
+        alpha = em[:, 0, :]
+        bps = []
+        for t in range(1, L):
+            scores = alpha[:, :, None] + transitions[None]
+            best_prev = scores.argmax(1)
+            new = scores.max(1).values + em[:, t]
+            keep = mask[:, t].bool()[:, None]
+            alpha = torch.where(keep, new, alpha)
+            ident = torch.arange(T)[None].expand(B, T)
+            bps.append(torch.where(keep, best_prev, ident))
+        tag = alpha.argmax(-1)
+        out = [tag]
+        for bp in reversed(bps):
+            tag = bp.gather(1, tag[:, None])[:, 0]
+            out.append(tag)
+        return torch.stack(list(reversed(out)), dim=1)  # (B, L)
+
+    params = (list(bert.parameters()) + list(emissions_head.parameters())
+              + [transitions])
+    opt = torch.optim.AdamW(params, lr=hp.learning_rate, weight_decay=0.01)
+    order_rng = np.random.default_rng(hp.seed)
+    n = len(train_rows)
+    losses = []
+    for _ in range(hp.epochs):
+        order = order_rng.permutation(n)
+        for st in range(0, n, hp.batch_size):
+            take = order[st:st + hp.batch_size].tolist()
+            while len(take) < hp.batch_size:
+                take.append(take[0])
+            rows = [train_rows[i] for i in take]
+            ids = torch.from_numpy(np.stack([r["input_ids"] for r in rows])).long()
+            am = torch.from_numpy(np.stack([r["attention_mask"] for r in rows])).long()
+            tg = torch.from_numpy(np.stack([r["tags"] for r in rows])).long()
+            hiddens = bert(input_ids=ids, attention_mask=am).last_hidden_state
+            em = emissions_head(F.dropout(hiddens, 0.1, True))
+            loss = -crf_log_likelihood(em, tg, am)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        losses.append(float(loss.detach()))
+
+    # predict: viterbi tags -> spans -> per-meeting frequency-ranked phrases
+    dev_rows = featurize(dev_meetings, tok.encode, hp, pad_id, with_tags=False)
+    per_meeting = {}
+    bert.eval()
+    with torch.no_grad():
+        for st in range(0, len(dev_rows), hp.batch_size):
+            rows = dev_rows[st:st + hp.batch_size]
+            ids = torch.from_numpy(np.stack([r["input_ids"] for r in rows])).long()
+            am = torch.from_numpy(np.stack([r["attention_mask"] for r in rows])).long()
+            em = emissions_head(
+                bert(input_ids=ids, attention_mask=am).last_hidden_state)
+            tags = viterbi(em, am).numpy()
+            for r, t in zip(rows, tags):
+                d = per_meeting.setdefault(
+                    r["meeting_key"], {"tokens": [], "tags": [], "masks": []})
+                d["tokens"].append(r["tokens"])
+                d["tags"].append(t.tolist())
+                d["masks"].append(r["attention_mask"].tolist())
+    keys = list(per_meeting)
+    kws = [
+        extract_keyphrases(per_meeting[k]["tokens"], per_meeting[k]["tags"],
+                           per_meeting[k]["masks"], top_k=hp.top_k)
+        for k in keys
+    ]
+    sub = mug_data.keyphrase_submission(keys, kws)
+    by_key = {m["meeting_key"]: m for m in dev_meetings}
+    metrics = mug_eval.keyphrase_extraction_evaluate(
+        [by_key[k] for k in keys], sub)
+    return {
+        "exact_f1@15": metrics["exact_f1@15"],
+        "partial_f1@15": metrics["partial_f1@15"],
+        "score": metrics["score"],
+        "final_loss": losses[-1],
+        "epochs": hp.epochs,
+    }
+
+
+# --------------------------------------------------------------------------
+# JAX side: the actual run_mug CLI
+# --------------------------------------------------------------------------
+
+
+def run_jax(assets, hp: HP):
+    from spokennlp_tpu.cli import run_mug
+
+    out_dir = os.path.join(assets["workdir"], "jax_out")
+    res = run_mug.main([
+        "--track", "keyphrase",
+        "--train_file", assets["train"],
+        "--eval_file", assets["dev"],
+        "--output_dir", out_dir,
+        "--vocab_file", assets["vocab"],
+        "--init_checkpoint", assets["model_dir"],
+        "--max_seq_length", str(hp.max_seq_length),
+        "--per_device_train_batch_size", str(hp.batch_size),
+        "--num_train_epochs", str(hp.epochs),
+        "--learning_rate", str(hp.learning_rate),
+        "--seed", str(hp.seed),
+        "--kpe_top_k", str(hp.top_k),
+    ])
+    m = res["metrics"]
+    return {
+        "exact_f1@15": m["exact_f1@15"],
+        "partial_f1@15": m["partial_f1@15"],
+        "score": m["score"],
+        "final_loss": res["train_loss"][-1],
+        "epochs": hp.epochs,
+    }
+
+
+def run_parity(workdir: str, hp: HP, gate: float = 0.2, n_train=32, n_dev=12):
+    assets, train_meetings, dev_meetings = build_assets(
+        workdir, hp, n_train=n_train, n_dev=n_dev)
+    bert, _ = save_shared_trunk(assets, hp)
+    torch_m = run_torch(assets, train_meetings, dev_meetings, hp, bert)
+    jax_m = run_jax(assets, hp)
+    delta = {k: abs(torch_m[k] - jax_m[k])
+             for k in ("exact_f1@15", "partial_f1@15")}
+    result = {
+        "hp": dataclasses.asdict(hp),
+        "torch": torch_m,
+        "jax": jax_m,
+        "abs_delta": delta,
+        "gate": gate,
+        "pass": bool(delta["exact_f1@15"] <= gate),
+    }
+    with open(os.path.join(workdir, "parity_kpe_results.json"), "w") as f:
+        json.dump(result, f, indent=2, default=float)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--gate", type=float, default=0.2)
+    ap.add_argument("--allow_tpu", action="store_true")
+    args = ap.parse_args()
+    if not args.allow_tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    hp = HP()
+    if args.epochs is not None:
+        hp = dataclasses.replace(hp, epochs=args.epochs)
+    result = run_parity(args.workdir, hp, gate=args.gate)
+    print(json.dumps(result, indent=2, default=float))
+    if not result["pass"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -250,6 +250,15 @@ def main(argv=None):
             jnp.ones((1, L), jnp.int32), jnp.ones((1, L), jnp.int32),
             tags=jnp.zeros((1, L), jnp.int32), deterministic=True,
         )["params"]
+        if ckpt_params is not None:
+            # full tagger tree, or a bare trunk (hf_convert.bert_to_encoder_
+            # params output) keeping the fresh emissions head + transitions
+            if "encoder" in ckpt_params:
+                params = jax.tree_util.tree_map(jnp.asarray, ckpt_params)
+            else:
+                params = dict(params)
+                params["encoder"] = jax.tree_util.tree_map(
+                    jnp.asarray, ckpt_params)
         tx = optax.adamw(args.learning_rate, weight_decay=0.01)
         state = create_train_state(params, tx)
 
