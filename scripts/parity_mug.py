@@ -78,10 +78,11 @@ class HP:
 N_TOPIC_TYPES = 8
 WORDS_PER_TYPE = 8
 WRAPUP = "wrapup"  # lexical boundary cue
+NOTEKEY = "notekey"  # lexical key-sentence cue (Track 2)
 
 
 def vocab_words():
-    words = [WRAPUP]
+    words = [WRAPUP, NOTEKEY]
     for t in range(N_TOPIC_TYPES):
         words += [f"t{t}w{j}" for j in range(WORDS_PER_TYPE)]
     return words
@@ -98,16 +99,28 @@ def gen_meeting(rng: np.random.Generator, key: str) -> dict:
     """3-5 topics x 2-4 sentences; paragraphs of 1-2 sentences; topic ends
     are always paragraph ends (AMC structure). Cue word ends a topic's final
     sentence with p=0.9; non-final sentences carry it with p=0.02."""
-    sentences, topic_ends, para_ends = [], [], []
+    sentences, topics, para_ends = [], [], []
     for _ in range(int(rng.integers(3, 6))):
         t = int(rng.integers(N_TOPIC_TYPES))
         n_sent = int(rng.integers(2, 5))
+        # Track 2: 1-2 key sentences per topic carry the NOTEKEY cue (p=0.9)
+        key_local = set(
+            rng.choice(n_sent, size=min(n_sent, int(rng.integers(1, 3))),
+                       replace=False).tolist()
+        )
+        key_ids = []
         for si in range(n_sent):
             n_words = int(rng.integers(4, 8))
             words = [
                 f"t{t}w{int(rng.integers(WORDS_PER_TYPE))}"
                 for _ in range(n_words)
             ]
+            if si in key_local:
+                if rng.random() < 0.9:
+                    words.insert(int(rng.integers(len(words) + 1)), NOTEKEY)
+                key_ids.append(len(sentences) + 1)  # global 1-based
+            elif rng.random() < 0.02:
+                words.append(NOTEKEY)
             is_last = si == n_sent - 1
             if (is_last and rng.random() < 0.9) or (
                 not is_last and rng.random() < 0.02
@@ -116,14 +129,17 @@ def gen_meeting(rng: np.random.Generator, key: str) -> dict:
             sentences.append(" ".join(words))
             sid = len(sentences)  # 1-based
             if is_last:
-                topic_ends.append(sid)
+                topics.append({
+                    "id": sid,
+                    "candidate": [{"key_sentence": key_ids}],
+                })
                 para_ends.append(sid)
             elif rng.random() < 0.5 or (para_ends and sid - para_ends[-1] >= 2):
                 para_ends.append(sid)
     return {
         "meeting_key": key,
         "sentences": [{"id": i + 1, "s": s} for i, s in enumerate(sentences)],
-        "topic_segment_ids": [{"id": i} for i in topic_ends],
+        "topic_segment_ids": topics,
         "paragraph_segment_ids": [{"id": i} for i in para_ends],
     }
 
@@ -260,17 +276,11 @@ def get_tokenizer(vocab_path: str):
 # --------------------------------------------------------------------------
 
 
-def run_torch(assets, train_meetings, dev_meetings, hp: HP, sd: dict):
+def make_torch_ponet(hp: HP, sd: dict):
+    """Trainable torch module of the documented ModelScope PoNet layout +
+    linear head. Returns (param ParameterDict, forward(batch, training))."""
     import torch
     import torch.nn.functional as F
-
-    from spokennlp_tpu.projects.mug import data as mug_data
-    from spokennlp_tpu.projects.mug import evaluate as mug_eval
-
-    torch.manual_seed(hp.seed)
-    tokenize_fn, vocab = get_tokenizer(assets["vocab"])
-    eos_id = vocab["[SEP]"]
-    train_batch, _, _ = featurize(train_meetings, tokenize_fn, hp, eos_id)
 
     H, NH = hp.hidden, hp.num_heads
     HD = H // NH
@@ -364,6 +374,14 @@ def run_torch(assets, train_meetings, dev_meetings, hp: HP, sd: dict):
         return F.linear(drop(hidden), P("classifier.weight"),
                         P("classifier.bias"))
 
+    return plist, forward
+
+
+def train_torch(plist, forward, train_batch, hp: HP):
+    """Generic masked-CE training loop over stacked EOS windows."""
+    import torch
+    import torch.nn.functional as F
+
     opt = torch.optim.AdamW(plist.parameters(), lr=hp.learning_rate,
                             weight_decay=0.01)
     n = train_batch["input_ids"].shape[0]
@@ -386,19 +404,41 @@ def run_torch(assets, train_meetings, dev_meetings, hp: HP, sd: dict):
             loss.backward()
             opt.step()
         losses.append(float(loss.detach()))
+    return losses
+
+
+def predict_torch_logits(forward, batch, hp: HP):
+    import torch
+
+    keys = ("input_ids", "attention_mask", "segment_ids", "labels")
+    out = []
+    m = batch["input_ids"].shape[0]
+    with torch.no_grad():
+        for st in range(0, m, hp.batch_size):
+            tb = {k: torch.from_numpy(batch[k][st:st + hp.batch_size]).long()
+                  for k in keys}
+            out.append(forward(tb, training=False).numpy())
+    return np.concatenate(out, 0)
+
+
+def run_torch(assets, train_meetings, dev_meetings, hp: HP, sd: dict):
+    import torch
+
+    from spokennlp_tpu.projects.mug import data as mug_data
+    from spokennlp_tpu.projects.mug import evaluate as mug_eval
+
+    torch.manual_seed(hp.seed)
+    tokenize_fn, vocab = get_tokenizer(assets["vocab"])
+    eos_id = vocab["[SEP]"]
+    train_batch, _, _ = featurize(train_meetings, tokenize_fn, hp, eos_id)
+    plist, forward = make_torch_ponet(hp, sd)
+    losses = train_torch(plist, forward, train_batch, hp)
 
     # predict (reference flow :852-911): argmax at labeled EOS positions,
     # boundary = class 0 (B-EOP), aggregate to 1-based sentence ids
     eval_batch, eval_windows, parsed_eval = featurize(
         dev_meetings, tokenize_fn, hp, eos_id)
-    with torch.no_grad():
-        logits_all = []
-        m = eval_batch["input_ids"].shape[0]
-        for st in range(0, m, hp.batch_size):
-            tb = {k: torch.from_numpy(eval_batch[k][st:st + hp.batch_size])
-                  .long() for k in keys}
-            logits_all.append(forward(tb, training=False).numpy())
-        logits_all = np.concatenate(logits_all, 0)
+    logits_all = predict_torch_logits(forward, eval_batch, hp)
 
     boundaries = [[] for _ in dev_meetings]
     for wi, w in enumerate(eval_windows):
@@ -420,17 +460,70 @@ def run_torch(assets, train_meetings, dev_meetings, hp: HP, sd: dict):
     }
 
 
+def run_torch_es(assets, train_meetings, dev_meetings, hp: HP, sd: dict):
+    """Track 2 (topic-level extractive summarization): same PoNet oracle,
+    key-sentence labels, multi-reference rouge (reference:
+    ponet_extractive_summarization.py + compute_metrics :853-979)."""
+    import torch
+
+    from spokennlp_tpu.configs import WindowingConfig
+    from spokennlp_tpu.projects.mug.extractive_summarization import (
+        evaluate_es_rouge,
+        featurize_es_examples,
+    )
+    from spokennlp_tpu.projects.mug.topic_segmentation import (
+        stack_eos_windows,
+    )
+
+    torch.manual_seed(hp.seed)
+    tokenize_fn, vocab = get_tokenizer(assets["vocab"])
+    eos_id = vocab["[SEP]"]
+    wcfg = WindowingConfig(
+        max_seq_length=hp.max_seq_length, cls_token_id=2, pad_token_id=0,
+        bos_token_id=5)
+
+    _, train_windows = featurize_es_examples(
+        train_meetings, tokenize_fn, wcfg, eos_id,
+        level="topic", annotator_strategy="single")
+    plist, forward = make_torch_ponet(hp, sd)
+    losses = train_torch(plist, forward, stack_eos_windows(train_windows), hp)
+
+    examples, eval_windows = featurize_es_examples(
+        dev_meetings, tokenize_fn, wcfg, eos_id,
+        level="topic", annotator_strategy="single")
+    logits_all = predict_torch_logits(
+        forward, stack_eos_windows(eval_windows), hp)
+    # per-example key sentences: softmax prob of class 0 >= 0.5 (the
+    # predict_key_sentences host rule, shared semantics)
+    scores = [dict() for _ in examples]
+    for w, lg in zip(eval_windows, logits_all):
+        live = w.labels != -100
+        probs = np.exp(lg - lg.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        for sid, p in zip(w.sent_ids, probs[live][:, 0]):
+            scores[w.example_id][sid] = float(p)
+    preds = [sorted(i + 1 for i, p in sc.items() if p >= 0.5)
+             for sc in scores]
+    metrics = evaluate_es_rouge(examples, preds)
+    return {
+        "rouge1_f": metrics["multi-ref-average_rouge-1_f"],
+        "rougel_f": metrics["multi-ref-average_rouge-l_f"],
+        "final_loss": losses[-1],
+        "epochs": hp.epochs,
+    }
+
+
 # --------------------------------------------------------------------------
 # JAX side: the actual run_mug CLI
 # --------------------------------------------------------------------------
 
 
-def run_jax(assets, hp: HP):
+def run_jax(assets, hp: HP, track: str = "topic_segmentation"):
     from spokennlp_tpu.cli import run_mug
 
-    out_dir = os.path.join(assets["workdir"], "jax_out")
+    out_dir = os.path.join(assets["workdir"], f"jax_out_{track}")
     res = run_mug.main([
-        "--track", "topic_segmentation",
+        "--track", track,
         "--train_file", assets["train"],
         "--eval_file", assets["dev"],
         "--output_dir", out_dir,
@@ -441,8 +534,17 @@ def run_jax(assets, hp: HP):
         "--num_train_epochs", str(hp.epochs),
         "--learning_rate", str(hp.learning_rate),
         "--seed", str(hp.seed),
+        "--es_level", "topic",
+        "--annotator_strategy", "single",
     ])
     m = res["metrics"]
+    if track == "extractive_summarization":
+        return {
+            "rouge1_f": m["multi-ref-average_rouge-1_f"],
+            "rougel_f": m["multi-ref-average_rouge-l_f"],
+            "final_loss": res["train_loss"][-1],
+            "epochs": hp.epochs,
+        }
     return {
         "pos_f1": m["test_pos_f1"],
         "score": m["score"],
@@ -453,25 +555,37 @@ def run_jax(assets, hp: HP):
     }
 
 
-def run_parity(workdir: str, hp: HP, gate: float = 0.2, n_train=48, n_dev=16):
+def run_parity(workdir: str, hp: HP, gate: float = 0.2, n_train=48, n_dev=16,
+               track: str = "topic_segmentation"):
     assets, train_meetings, dev_meetings = build_assets(
         workdir, hp, n_train=n_train, n_dev=n_dev)
     sd = make_state_dict(hp, assets["n_vocab"],
                          np.random.default_rng(hp.seed + 101))
     save_shared_checkpoint(sd, hp, assets["n_vocab"], assets["model_dir"])
-    torch_m = run_torch(assets, train_meetings, dev_meetings, hp, sd)
-    jax_m = run_jax(assets, hp)
-    delta = {"pos_f1": abs(torch_m["pos_f1"] - jax_m["pos_f1"]),
-             "score": abs(torch_m["score"] - jax_m["score"])}
+    if track == "extractive_summarization":
+        torch_m = run_torch_es(assets, train_meetings, dev_meetings, hp, sd)
+        gate_key = "rouge1_f"
+    else:
+        torch_m = run_torch(assets, train_meetings, dev_meetings, hp, sd)
+        gate_key = "pos_f1"
+    jax_m = run_jax(assets, hp, track=track)
+    if track == "extractive_summarization":
+        delta = {k: abs(torch_m[k] - jax_m[k])
+                 for k in ("rouge1_f", "rougel_f")}
+    else:
+        delta = {k: abs(torch_m[k] - jax_m[k]) for k in ("pos_f1", "score")}
     result = {
         "hp": dataclasses.asdict(hp),
+        "track": track,
         "torch": torch_m,
         "jax": jax_m,
         "abs_delta": delta,
         "gate": gate,
-        "pass": bool(delta["pos_f1"] <= gate),
+        "pass": bool(delta[gate_key] <= gate),
     }
-    with open(os.path.join(workdir, "parity_mug_results.json"), "w") as f:
+    name = ("parity_mug_results.json" if track == "topic_segmentation"
+            else "parity_mug_es_results.json")
+    with open(os.path.join(workdir, name), "w") as f:
         json.dump(result, f, indent=2, default=float)
     return result
 
@@ -481,6 +595,8 @@ def main():
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--gate", type=float, default=0.2)
+    ap.add_argument("--track", default="topic_segmentation",
+                    choices=["topic_segmentation", "extractive_summarization"])
     ap.add_argument("--allow_tpu", action="store_true")
     args = ap.parse_args()
     if not args.allow_tpu:
@@ -490,7 +606,7 @@ def main():
     hp = HP()
     if args.epochs is not None:
         hp = dataclasses.replace(hp, epochs=args.epochs)
-    result = run_parity(args.workdir, hp, gate=args.gate)
+    result = run_parity(args.workdir, hp, gate=args.gate, track=args.track)
     print(json.dumps(result, indent=2, default=float))
     if not result["pass"]:
         sys.exit(1)
