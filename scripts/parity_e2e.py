@@ -387,10 +387,13 @@ def _torch_oracle_classes():
             # loss_calculator.py:45-48 + utils.py:111-138: BCE-with-logits on
             # cos(feat_i, feat_{(i+1) mod n}) / temp at live-label positions,
             # target = the 0/1 label (1 = O = same topic => similar). The
-            # reference also feeds its -100 PADDING entries into the BCE —
-            # those are constants (no gradient) that only shift the loss
-            # VALUE by a huge negative offset, so we drop them: training
-            # trajectories are identical, loss values are sane.
+            # reference also feeds its -100 PADDING entries into the BCE;
+            # we drop them on BOTH sides of this harness (the jax CLI does
+            # the same), so the comparison is internally consistent. Note
+            # the deviation from the reference's exact gradients: BCE mean
+            # reduction divides by element count, so excluding pads rescales
+            # each batch's gradient by live/(B*max_eop_cnt) — a per-batch
+            # factor Adam largely but not exactly cancels.
             sims_all, labs_all = [], []
             for ex_out, ex_lab in zip(seq_out, labels):
                 m = ex_lab != IGNORE

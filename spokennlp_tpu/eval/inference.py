@@ -245,14 +245,19 @@ def predict_windows_scanned(
     return out.reshape(nb_total * B, out.shape[2], -1)[:n]
 
 
-def make_cos_predict_fn(model, params, temp: float):
+def make_cos_predict_fn(model, temp: float):
     """Window scorer for ts_score_predictor='cos': adjacent-eop cosine sims
     at labeled sentence slots (reference: utils.py:111-138 + predict path at
-    ts_sentence_seq_labeling.py:1153-1158)."""
+    ts_sentence_seq_labeling.py:1153-1158).
+
+    ``params`` is a jit ARGUMENT (not closed over): the compiled fn is
+    reusable across training evals without re-tracing, and sharded params
+    keep their shardings instead of being gathered into the executable as
+    constants."""
     from spokennlp_tpu.objectives import cssl as cssl_ops
 
     @functools.partial(jax.jit)
-    def predict(input_ids, attention_mask, token_type_ids, sent_positions, eop_mask, labels):
+    def predict(params, input_ids, attention_mask, token_type_ids, sent_positions, eop_mask, labels):
         out = model.apply(
             {"params": params},
             input_ids,
@@ -303,7 +308,9 @@ def run_topic_seg_inference(
     batch = W.stack_windows(windows)
 
     if ts_score_predictor == "cos":
-        predict_fn = make_cos_predict_fn(model, params, cos_temp)
+        predict_fn = functools.partial(
+            make_cos_predict_fn(model, cos_temp), params
+        )
         N, K = batch["sent_positions"].shape
         sims = np.zeros((N, K), np.float32)
         for s in range(0, N, batch_size):

@@ -187,25 +187,40 @@ def eop_pair_cosine_similarity(
 ):
     """Cosine similarity between each labeled sentence and the next one.
 
-    Reference: EopPairCosineSimilarity (utils.py:111-138) — within each
-    example, feature k pairs with feature k+1 (wrapping to 0 at the end).
+    Reference: EopPairCosineSimilarity (utils.py:111-138) — the reference
+    first COMPACTS the labeled features, then pairs compacted slot k with
+    k+1 (wrapping to 0 at the end). eop_mask is usually a left-packed
+    prefix, but window_document permits interior IGNORE sent_labels, so
+    compaction is done here explicitly (stable argsort moves valid slots to
+    the front, pairing runs on the compacted order, and the sims are
+    scattered back to the original slots).
+
     Returns (sims, labels): (B, K) with IGNORE-filled invalid slots.
     """
     B, K, H = eop_features.shape
+    valid = eop_mask.astype(bool)
     n_valid = eop_mask.astype(jnp.int32).sum(axis=1)  # (B,)
     idx = jnp.arange(K, dtype=jnp.int32)[None, :]
-    nxt = jnp.where(idx + 1 < n_valid[:, None], idx + 1, 0)
-    next_feats = jnp.take_along_axis(eop_features, nxt[..., None], axis=1)
 
-    a = eop_features.astype(jnp.float32)
+    # compact: valid slots first, original relative order preserved
+    order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)  # (B, K)
+    feats_c = jnp.take_along_axis(eop_features, order[..., None], axis=1)
+
+    nxt = jnp.where(idx + 1 < n_valid[:, None], idx + 1, 0)
+    next_feats = jnp.take_along_axis(feats_c, nxt[..., None], axis=1)
+
+    a = feats_c.astype(jnp.float32)
     b = next_feats.astype(jnp.float32)
     an = _l2_normalize(a)
     bn = _l2_normalize(b)
-    cos = jnp.sum(an * bn, axis=-1)
+    cos_c = jnp.sum(an * bn, axis=-1)  # (B, K), compacted order
     if temp != 0:
-        cos = cos / temp
+        cos_c = cos_c / temp
 
-    valid = eop_mask.astype(bool)
+    # scatter back: original slot j holds the sim of its compacted position
+    inv_order = jnp.argsort(order, axis=1)
+    cos = jnp.take_along_axis(cos_c, inv_order, axis=1)
+
     sims = jnp.where(valid, cos, float(IGNORE))
     labels = jnp.where(valid, eop_labels, IGNORE)
     return sims, labels

@@ -16,6 +16,7 @@ ModelScope / TF-Estimator plumbing (reference layer map, SURVEY.md §1):
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -263,10 +264,14 @@ class TopicSegTrainer:
             # (reference eval path, ts_sentence_seq_labeling.py:1042-1048)
             from spokennlp_tpu.eval.inference import make_cos_predict_fn
 
-            predict = make_cos_predict_fn(
-                self.model, self.state.params,
-                self.task_cfg.ts_score_predictor_cos_temp,
-            )
+            # compiled once and cached: params are a jit argument, so each
+            # evaluate() during training reuses the executable (and sharded
+            # params keep their shardings rather than being baked in)
+            if getattr(self, "_cos_predict_fn", None) is None:
+                self._cos_predict_fn = make_cos_predict_fn(
+                    self.model, self.task_cfg.ts_score_predictor_cos_temp
+                )
+            predict = functools.partial(self._cos_predict_fn, self.state.params)
             N = batch["input_ids"].shape[0]
             B = self.batch_size
             sims = np.zeros(batch["sent_positions"].shape, np.float32)

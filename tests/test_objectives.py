@@ -212,3 +212,30 @@ def test_eop_pair_cosine_wraps_within_example():
     assert abs(sims[0, 2] - cos(feats[0, 2], feats[0, 0])) < 1e-5
     assert sims[0, 3] == IGNORE
     assert np.asarray(out_labels)[0, 3] == IGNORE
+
+
+def test_eop_pair_cosine_compacts_interior_holes():
+    """window_document permits interior IGNORE sent_labels (eop_mask with
+    holes); pairing must run over the COMPACTED labeled slots (reference
+    utils.py:111-138 compacts before pairing), with sims scattered back to
+    the original slot positions (round-3 ADVICE)."""
+    rng = np.random.default_rng(7)
+    B, K, H = 1, 5, 8
+    feats = rng.normal(size=(B, K, H)).astype(np.float32)
+    labels = np.array([[0, -100, 1, -100, 0]], dtype=np.int32)
+    mask = np.array([[1, 0, 1, 0, 1]], dtype=np.int32)  # interior holes
+
+    sims, out_labels = C.eop_pair_cosine_similarity(
+        jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(mask), temp=1.0
+    )
+    sims = np.asarray(sims)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # valid slots are 0, 2, 4 -> pairs (0,2), (2,4), (4 wraps to 0)
+    assert abs(sims[0, 0] - cos(feats[0, 0], feats[0, 2])) < 1e-5
+    assert abs(sims[0, 2] - cos(feats[0, 2], feats[0, 4])) < 1e-5
+    assert abs(sims[0, 4] - cos(feats[0, 4], feats[0, 0])) < 1e-5
+    assert sims[0, 1] == IGNORE and sims[0, 3] == IGNORE
+    assert np.asarray(out_labels)[0, 1] == IGNORE
