@@ -1,0 +1,371 @@
+"""Serving-trunk distillation: spend the north-star's quality budget on depth.
+
+BASELINE.md's gate is ">= 5,000 512-token windows/s/chip with Pk/WinDiff
+within 0.2 of the PyTorch reference". BENCH_CEILING.md shows dense 12-layer
+BERT-base cannot reach 5,000 on this chip (int8-perfect ~= 4k w/s) — but the
+0.2-Pk budget is part of the metric, and depth is the one lever that moves
+the ceiling. This script produces the quality evidence:
+
+  1. ``--stage torch12``: the PyTorch reference anchor — the parity_e2e
+     torch oracle (reference-faithful model+loss stack, see
+     scripts/parity_e2e.py) at TWELVE layers, trained with the reference
+     recipe on the e2e-harness corpus. This is "the PyTorch reference" of
+     the gate, at the harness scale.
+  2. ``--stage jax``: our 12-layer teacher through the real run_finetune
+     CLI (same recipe), then 6- and 4-layer students initialized from
+     evenly-spaced teacher layers and trained with logit distillation
+     (temperature-scaled KL on live-label token logits, Hinton 2015) + the
+     ts CE loss, evaluated with the same window-level metrics.
+  3. ``--stage emit``: PARITY_DISTILL.json — per-depth ΔPk/ΔF1 vs the torch
+     12-layer anchor, gated at 0.2. bench.py reads this artifact to decide
+     whether the distilled serving depth may carry the headline number.
+
+Stages are separate because the torch 12-layer run costs ~2h on this
+machine's single CPU core while the jax stage runs in minutes on the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import parity_e2e  # noqa: E402
+
+IGNORE = -100
+TEACHER_LAYERS = 12
+STUDENT_DEPTHS = (6, 4)
+# evenly spaced teacher layers, always keeping the last (DistilBERT-style)
+LAYER_MAPS = {
+    6: (1, 3, 5, 7, 9, 11),
+    4: (2, 5, 8, 11),
+    2: (5, 11),
+}
+
+
+def build_assets(workdir: str, hp):
+    return parity_e2e.build_assets(
+        workdir, seed=0, layers=TEACHER_LAYERS, trunk="bert",
+        max_seq_length=hp.max_seq_length,
+    )
+
+
+# --------------------------------------------------------------------------
+# stage: torch12 — the PyTorch reference anchor at 12 layers
+# --------------------------------------------------------------------------
+
+
+def stage_torch12(workdir: str, hp) -> dict:
+    assets = build_assets(workdir, hp)
+    metrics = parity_e2e.run_torch(assets, hp)
+    out = {"hp": dataclasses.asdict(hp), "layers": TEACHER_LAYERS,
+           "torch": metrics}
+    with open(os.path.join(workdir, "torch12.json"), "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    print(json.dumps(out, indent=2, default=float))
+    return out
+
+
+# --------------------------------------------------------------------------
+# stage: jax — teacher via the CLI, students via logit distillation
+# --------------------------------------------------------------------------
+
+
+def _student_params_from_teacher(teacher_params, depth: int):
+    """Embeddings + evenly spaced encoder layers + both heads."""
+    import jax
+
+    enc_t = teacher_params["encoder"]
+    enc_s = {"embeddings": enc_t["embeddings"]}
+    for j, t in enumerate(LAYER_MAPS[depth]):
+        enc_s[f"layer_{j}"] = enc_t[f"layer_{t}"]
+    student = {
+        "encoder": enc_s,
+        "classifier": teacher_params["classifier"],
+        "tssp_classifier": teacher_params["tssp_classifier"],
+    }
+    return jax.tree.map(lambda x: np.asarray(x).copy(), student)
+
+
+def _evaluate_jax(model, params, eval_docs, wcfg):
+    """Window-level eval mirroring parity_e2e.evaluate_torch exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from spokennlp_tpu.data.windowing import stack_windows, window_document
+    from spokennlp_tpu.eval import seg_metrics
+
+    windows = []
+    for eid, doc in enumerate(eval_docs):
+        windows.extend(
+            window_document(doc["sent_token_ids"], doc["labels"], wcfg, eid)
+        )
+    batch = stack_windows(windows)
+
+    @jax.jit
+    def fwd(params, ids, mask, tt):
+        out = model.apply({"params": params}, ids, attention_mask=mask,
+                          token_type_ids=tt, deterministic=True)
+        return out["token_logits"].astype(jnp.float32)
+
+    N = batch["input_ids"].shape[0]
+    B = 32
+    outs = []
+    for s in range(0, N, B):
+        e = min(s + B, N)
+        pad = B - (e - s)
+        sl = {k: batch[k][s:e] for k in ("input_ids", "attention_mask",
+                                         "token_type_ids")}
+        if pad:
+            sl = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                  for k, v in sl.items()}
+        lg = np.asarray(fwd(params, jnp.asarray(sl["input_ids"]),
+                            jnp.asarray(sl["attention_mask"]),
+                            jnp.asarray(sl["token_type_ids"])))
+        outs.append(lg[: e - s])
+    logits = np.concatenate(outs, 0)
+
+    preds, refs = [], []
+    for i in range(len(windows)):
+        live = batch["labels"][i] != IGNORE
+        if not live.any():
+            continue
+        preds.append(logits[i][live].argmax(-1).tolist())
+        refs.append(batch["labels"][i][live].tolist())
+    prf = seg_metrics.boundary_prf(preds, refs)
+    wm = seg_metrics.compute_window_metric(
+        [[1 if v == 0 else 0 for v in p] for p in preds],
+        [[1 if v == 0 else 0 for v in r] for r in refs],
+    )
+    return {"f1": prf["overall_f1"], "precision": prf["overall_precision"],
+            "recall": prf["overall_recall"], "pk": wm["pk"], "wd": wm["wd"]}
+
+
+def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
+                     kd_weight: float, kd_temp: float, train_docs, eval_docs,
+                     wcfg):
+    """Logit-distillation training of one student depth."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spokennlp_tpu.data.featurization import batches_from_docs, featurize_paired
+    from spokennlp_tpu.models.topic_seg import TopicSegModel
+    from spokennlp_tpu.ops import losses as loss_ops
+
+    enc_cfg = dataclasses.replace(teacher_model.enc_cfg, num_layers=depth)
+    task_cfg = teacher_model.task_cfg
+    student = TopicSegModel(enc_cfg, task_cfg)
+    s_params = _student_params_from_teacher(teacher_params, depth)
+
+    n_windows = len(
+        featurize_paired(train_docs, wcfg, np.random.default_rng(hp.seed))
+    )
+    steps_per_epoch = max(n_windows // hp.batch_size, 1)
+    total_steps = max(int(steps_per_epoch * hp.epochs), 1)
+
+    sched = optax.linear_schedule(hp.learning_rate, 0.0, total_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=hp.weight_decay,
+                    mask=lambda p: jax.tree.map(lambda x: x.ndim > 1, p)),
+    )
+    opt_state = tx.init(s_params)
+    class_w = loss_ops.ts_class_weights(hp.weight_label_zero)
+
+    @jax.jit
+    def step(s_params, opt_state, t_params, ids, mask, tt, labels, rng):
+        t_out = teacher_model.apply(
+            {"params": t_params}, ids, attention_mask=mask,
+            token_type_ids=tt, deterministic=True)
+        t_logits = jax.lax.stop_gradient(t_out["token_logits"])
+
+        def loss_fn(p):
+            out = student.apply(
+                {"params": p}, ids, attention_mask=mask, token_type_ids=tt,
+                deterministic=False, rngs={"dropout": rng})
+            s_logits = out["token_logits"]
+            ce = loss_ops.cross_entropy_with_ignore(
+                s_logits, labels, class_weights=class_w)
+            # temperature-scaled KL at live-label positions, x T^2 (Hinton)
+            live = (labels != IGNORE).astype(jnp.float32)
+            t_lp = jax.nn.log_softmax(t_logits / kd_temp, -1)
+            s_lp = jax.nn.log_softmax(s_logits / kd_temp, -1)
+            kl = (jnp.exp(t_lp) * (t_lp - s_lp)).sum(-1)
+            kl = (kl * live).sum() / jnp.maximum(live.sum(), 1.0)
+            return ce + kd_weight * (kd_temp ** 2) * kl, (ce, kl)
+
+        (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(s_params)
+        updates, opt_state = tx.update(grads, opt_state, s_params)
+        s_params = optax.apply_updates(s_params, updates)
+        return s_params, opt_state, loss, ce, kl
+
+    data_rng = np.random.default_rng(hp.seed)
+    key = jax.random.PRNGKey(hp.seed)
+    task_for_batches = task_cfg
+    n = 0
+    while n < total_steps:
+        for b in batches_from_docs(train_docs, wcfg, task_for_batches,
+                                   hp.batch_size, data_rng, drop_last=False):
+            key, sub = jax.random.split(key)
+            s_params, opt_state, loss, ce, kl = step(
+                s_params, opt_state, teacher_params,
+                jnp.asarray(b["input_ids"][:, 0]),
+                jnp.asarray(b["attention_mask"][:, 0]),
+                jnp.asarray(b["token_type_ids"][:, 0]),
+                jnp.asarray(b["labels"][:, 0]),
+                sub,
+            )
+            n += 1
+            if n >= total_steps:
+                break
+    metrics = _evaluate_jax(student, s_params, eval_docs, wcfg)
+    metrics["train_steps"] = n
+    metrics["layers"] = depth
+    return metrics, s_params
+
+
+def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float) -> dict:
+    import jax.numpy as jnp
+
+    from spokennlp_tpu.configs import TopicSegConfig, WindowingConfig
+    from spokennlp_tpu.data.corpora import load_dataset_splits, tokenize_examples
+    from spokennlp_tpu.models import checkpoint_io
+    from spokennlp_tpu.models.topic_seg import TopicSegModel
+    from transformers import BertTokenizer
+
+    assets = build_assets(workdir, hp)
+
+    # 12-layer teacher through the real CLI (saves final_model)
+    teacher_metrics = parity_e2e.run_jax(assets, hp)
+
+    tok = BertTokenizer.from_pretrained(assets["model_dir"])
+    tokenize_fn = lambda s: tok(s, add_special_tokens=False)["input_ids"]
+    splits = load_dataset_splits("wiki_section", assets["data_dir"])
+    train_docs = tokenize_examples(splits["train"], tokenize_fn)
+    eval_docs = tokenize_examples(splits["validation"], tokenize_fn)
+    vocab = tok.get_vocab()
+    wcfg = WindowingConfig(
+        max_seq_length=hp.max_seq_length,
+        cls_token_id=vocab["[CLS]"], pad_token_id=vocab["[PAD]"],
+        bos_token_id=vocab["[BOS]"],
+    )
+
+    t_params, enc_cfg = checkpoint_io.load_checkpoint(
+        os.path.join(assets["workdir"], "jax_out", "final_model"))
+    # the topic-seg head never uses the pooler; the trained task params
+    # don't carry one even when the converted config says add_pooler
+    enc_cfg = dataclasses.replace(enc_cfg, add_pooler=False)
+    task_cfg = TopicSegConfig(ts_loss_weight=hp.ts_loss_weight)
+    teacher_model = TopicSegModel(enc_cfg, task_cfg)
+    teacher_eval = _evaluate_jax(teacher_model, t_params, eval_docs, wcfg)
+
+    students = {}
+    for depth in STUDENT_DEPTHS:
+        m, _ = _distill_student(
+            assets, hp, teacher_model, t_params, depth, kd_weight, kd_temp,
+            train_docs, eval_docs, wcfg)
+        students[str(depth)] = m
+        print(f"[distill] student {depth}L: {m}", flush=True)
+
+    out = {
+        "hp": dataclasses.asdict(hp),
+        "kd_weight": kd_weight,
+        "kd_temp": kd_temp,
+        "jax_teacher_12l": {**teacher_metrics, **{f"win_{k}": v for k, v in teacher_eval.items()}},
+        "students": students,
+    }
+    with open(os.path.join(workdir, "jax_distill.json"), "w") as f:
+        json.dump(out, f, indent=2, default=float)
+    print(json.dumps(out, indent=2, default=float))
+    return out
+
+
+# --------------------------------------------------------------------------
+# stage: emit — PARITY_DISTILL.json
+# --------------------------------------------------------------------------
+
+
+def stage_emit(workdir: str, gate: float, out_path: str) -> dict:
+    with open(os.path.join(workdir, "torch12.json")) as f:
+        torch12 = json.load(f)
+    with open(os.path.join(workdir, "jax_distill.json")) as f:
+        jaxd = json.load(f)
+    anchor = torch12["torch"]
+    rows = {}
+    for depth, m in sorted(jaxd["students"].items(), key=lambda kv: int(kv[0])):
+        rows[depth] = {
+            "metrics": m,
+            "abs_delta_vs_torch12": {
+                k: abs(m[k] - anchor[k]) for k in ("f1", "pk", "wd")
+            },
+            "within_gate": bool(abs(m["pk"] - anchor["pk"]) <= gate
+                                and abs(m["wd"] - anchor["wd"]) <= gate),
+        }
+    passing = [int(d) for d, r in rows.items() if r["within_gate"]]
+    result = {
+        "what": (
+            "Quality evidence for the distilled serving trunk: torch "
+            "12-layer reference oracle vs our 12-layer teacher and "
+            "distilled 6/4-layer students, same corpus/recipe/metrics "
+            "(scripts/distill.py; harness scale h=64 L=128)"
+        ),
+        "gate": gate,
+        "torch_12l": anchor,
+        "jax_teacher_12l": jaxd["jax_teacher_12l"],
+        "students": rows,
+        "serving_depth": min(passing) if passing else None,
+        "pass": bool(passing),
+        "hp": torch12["hp"],
+        "kd": {"weight": jaxd["kd_weight"], "temp": jaxd["kd_temp"]},
+    }
+    blob = json.dumps(result, indent=2, default=float)
+    print(blob)
+    with open(out_path, "w") as f:
+        f.write(blob + "\n")
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--stage", required=True,
+                    choices=["torch12", "jax", "emit"])
+    ap.add_argument("--epochs", type=float, default=None)
+    ap.add_argument("--kd_weight", type=float, default=1.0)
+    ap.add_argument("--kd_temp", type=float, default=2.0)
+    ap.add_argument("--gate", type=float, default=0.2)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default="PARITY_DISTILL.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    hp = parity_e2e.HP()
+    if args.epochs is not None:
+        hp = dataclasses.replace(hp, epochs=args.epochs)
+    hp = dataclasses.replace(hp, seed=args.seed)
+
+    if args.stage == "torch12":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        stage_torch12(args.workdir, hp)
+    elif args.stage == "jax":
+        if args.cpu:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        stage_jax(args.workdir, hp, args.kd_weight, args.kd_temp)
+    else:
+        stage_emit(args.workdir, args.gate, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,11 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--attention_type", default="dense",
                    choices=["dense", "sliding_window", "bigbird", "ponet"])
     g.add_argument("--attention_window", type=int, default=512)
+    g.add_argument("--attention_impl", default="auto",
+                   choices=["auto", "einsum", "flash", "pallas", "fused",
+                            "stack", "train_fused"],
+                   help="attention kernel selection (auto = fused Pallas on "
+                   "TPU, einsum elsewhere)")
     # HF Trainer flag name; remats each layer on backward (jax.checkpoint)
     g.add_argument("--gradient_checkpointing", action="store_true")
     # architecture knobs (defaults = BERT-base; used when training from
@@ -158,6 +163,7 @@ def build_configs(args, special):
         max_position_embeddings=max(args.max_seq_length, 512),
         attention_type=args.attention_type,
         attention_window=args.attention_window,
+        attention_impl=getattr(args, "attention_impl", "auto"),
         pad_token_id=special["pad"],
         remat=getattr(args, "gradient_checkpointing", False),
     )

@@ -363,6 +363,56 @@ class SelfAttention(nn.Module):
                 None,
             )
         if (
+            impl == "train_fused"
+            and cfg.attention_type == "sliding_window"
+            and raw_attention_mask is not None
+            and global_mask is not None
+        ):
+            # TRAINING fused Longformer block with a custom VJP: banded
+            # scores/probs recomputed flash-style in the backward kernel —
+            # neither pass materializes an (L, 3C) band in HBM
+            # (ops/pallas/train_sliding.py; contract: suffix padding, prefix
+            # globals)
+            from spokennlp_tpu.ops.pallas.train_sliding import (
+                sliding_attention_block_train,
+            )
+
+            qkv_kernel, qkv_bias = qkv_proj(hidden, layout="raw")
+            gqkv_kernel, gqkv_bias = FusedQKV(
+                nh, hd, dtype=self.dtype, name="qkv_global"
+            )(hidden, layout="raw")
+            out_kernel, out_bias = AttnOutProj(
+                H, dtype=self.dtype, num_heads=nh, head_dim=hd, name="out"
+            )(hidden, layout="raw")
+            rate = float(cfg.attention_dropout) if not deterministic else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return (
+                sliding_attention_block_train(
+                    hidden,
+                    raw_attention_mask,
+                    global_mask,
+                    qkv_kernel,
+                    qkv_bias,
+                    gqkv_kernel,
+                    gqkv_bias,
+                    out_kernel,
+                    out_bias,
+                    seed,
+                    sm_scale=1.0 / float(hd) ** 0.5,
+                    window=cfg.attention_window,
+                    max_globals=cfg.max_global_tokens,
+                    dropout_rate=rate,
+                    global_rows=sliding_global_rows,
+                    interpret=jax.default_backend() == "cpu",
+                ),
+                None,
+            )
+        if (
             impl == "fused"
             and cfg.attention_type == "dense"
             and flash_segment_ids is not None
@@ -621,6 +671,7 @@ class TransformerLayer(nn.Module):
         sliding_fused: bool = False,
         sliding_global_rows: bool = True,
         bigbird_fused: bool = False,
+        sliding_train_fused: bool = False,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -684,7 +735,15 @@ class TransformerLayer(nn.Module):
             and flash_segment_ids is not None
             and not output_attentions
         )
-        if train_fused:
+        train_fused_sliding = (
+            sliding_train_fused
+            and impl == "train_fused"
+            and cfg.attention_type == "sliding_window"
+            and raw_attention_mask is not None
+            and global_mask is not None
+            and not output_attentions
+        )
+        if train_fused or train_fused_sliding:
             # TRAINING fused path: attention block + MLP core are Pallas
             # kernels with custom VJPs (flash-style recompute, in-kernel prob
             # dropout); hidden-state dropout / residual / LN stay in XLA.
@@ -698,7 +757,12 @@ class TransformerLayer(nn.Module):
                 deterministic,
                 False,
                 flash_segment_ids=flash_segment_ids,
+                global_mask=global_mask if train_fused_sliding else None,
+                raw_attention_mask=(
+                    raw_attention_mask if train_fused_sliding else None
+                ),
                 attention_impl="train_fused",
+                sliding_global_rows=sliding_global_rows,
             )
             attn_out = nn.Dropout(cfg.hidden_dropout)(
                 attn_out, deterministic=deterministic
@@ -855,14 +919,26 @@ class Encoder(nn.Module):
                 on_tpu
                 and not deterministic
                 and not output_attentions
-                and cfg.attention_type == "dense"
+                and cfg.attention_type in ("dense", "sliding_window")
             ):
-                # TRAINING: custom-VJP fused blocks (train_blocks.py) — no
-                # (nh, L, L) residuals in HBM, hardware-PRNG prob dropout
+                # TRAINING: custom-VJP fused blocks (train_blocks.py dense /
+                # train_sliding.py banded+global) — no (nh, L, L) or (L, 3C)
+                # residuals in HBM, hardware-PRNG prob dropout
                 impl = "train_fused"
             else:
                 impl = "einsum"
-        if impl == "train_fused" and cfg.attention_type != "dense":
+        if impl == "train_fused" and cfg.attention_type not in (
+            "dense", "sliding_window"
+        ):
+            impl = "einsum"
+        if (
+            impl == "train_fused"
+            and not deterministic
+            and cfg.attention_dropout > 0
+            and jax.default_backend() == "cpu"
+        ):
+            # interpret-mode has no lowering for the in-kernel hardware PRNG;
+            # prob-dropout training off-TPU takes the einsum path
             impl = "einsum"
         use_stack = (
             impl == "stack"
@@ -890,6 +966,7 @@ class Encoder(nn.Module):
         key_padding_bias = None
         sliding_chunked = False
         sliding_fused = False
+        sliding_train_fused = False
         bigbird_block = False
         bigbird_fused = False
         if use_flash or use_pallas:
@@ -952,13 +1029,29 @@ class Encoder(nn.Module):
                 and L % C_half == 0
                 and C_half % 8 == 0
             )
+            train_sliding_ok = (
+                impl == "train_fused"
+                and not output_attentions
+                and prefix_globals is not None  # suffix-padding promise
+                and prefix_globals <= cfg.max_global_tokens
+                and global_attention_mask is not None
+                and L % C_half == 0
+                and C_half % 8 == 0
+            )
+            if impl == "train_fused" and not train_sliding_ok:
+                impl = "einsum"  # contract not met: chunked einsum training
             if sw_impl == "auto":
                 sw_impl = (
                     "fused"
                     if fused_sliding_ok
                     else ("chunked" if L > 1024 else "bias")
                 )
-            if sw_impl == "fused" and fused_sliding_ok:
+            if impl == "train_fused" and train_sliding_ok:
+                # custom-VJP fused Longformer training block
+                # (ops/pallas/train_sliding.py); bias stays None, raw masks
+                # flow to the layer
+                sliding_train_fused = True
+            elif sw_impl == "fused" and fused_sliding_ok:
                 # one-kernel Longformer block (ops/pallas/sliding_block.py);
                 # bias stays None, SelfAttention consumes the raw masks
                 sliding_fused = True
@@ -1034,7 +1127,7 @@ class Encoder(nn.Module):
             # pass instead of storing its activations (bool/str args are
             # static; self counts as argnum 0)
             layer_cls = nn.remat(
-                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12, 13, 14)
+                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12, 13, 14, 15)
             )
         for i in range(cfg.num_layers):
             hidden, probs = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
@@ -1056,6 +1149,7 @@ class Encoder(nn.Module):
                         sliding_chunked
                         or bigbird_block
                         or sliding_fused
+                        or sliding_train_fused
                         or bigbird_fused
                     )
                     else None
@@ -1065,6 +1159,7 @@ class Encoder(nn.Module):
                 sliding_fused,
                 (prefix_globals or 0) > 0,
                 bigbird_fused,
+                sliding_train_fused,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

@@ -1,0 +1,869 @@
+"""Training-path fused Longformer attention block with a custom VJP.
+
+The reference's FLAGSHIP training recipe is Longformer at seq 2048
+(reference: emnlp2023-topic_segmentation/run_finetune.sh:13-14, model
+longformer_base, max_seq_length 2048) — exactly where einsum training is most
+memory/time-bound. The inference-side fused kernel (sliding_block.py) has no
+VJP; the dense training kernels (train_blocks.py) cover dense attention only.
+This module gives the sliding-window + prefix-globals path the same
+treatment:
+
+  forward:  one Pallas kernel per layer — QKV (+ global QKV) projections,
+            banded attention over C-row chunks (C = window // 2), shared-max
+            softmax over [band | global-key columns], global-row replacement
+            via the *_global projections (HF Longformer semantics, reference
+            longformer_for_ts.py:55-58), output projection. Residual + LN +
+            hidden dropout stay in XLA (same contract as train_blocks.py).
+  backward: flash-style recompute — the banded score/probability tensors are
+            regenerated chunk by chunk inside the kernel, so neither pass
+            ever materializes an (L, 3C) band or an (L, L) anything in HBM;
+            residuals are the layer inputs only.
+
+Attention-probability dropout runs IN-kernel on the hardware PRNG with
+identical reseed + generation order in forward and backward (bit-identical
+masks, nothing saved), covering band, global-column, and global-row
+probabilities. NOTE the XLA chunked path (ops/sliding_attention.py +
+encoder global pass) applies dropout to global-row probs only — the fused
+kernel is the HF-faithful one; grad-parity tests run at rate 0 where the two
+paths coincide.
+
+Semantics contract (enforced by the windowing featurizer + CLS-only masks):
+padding is a suffix, global tokens are a prefix of at most ``max_globals``
+positions. Window convention matches ops/sliding_attention.py: |i - j| <= C.
+
+Oracle for tests: the encoder's chunked einsum path
+(chunked_sliding_window_attention + the XLA global pass) at dropout 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def _f0(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _dropout_threshold(rate: float) -> int:
+    return min(int(rate * 2**32), 2**32 - 1)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _proj3(x, w_ref, b_ref, idx):
+    return (
+        jnp.dot(x, w_ref[idx], preferred_element_type=jnp.float32) + b_ref[idx]
+    )
+
+
+def _sliding_train_fwd_kernel(
+    seed_ref,  # (1,) int32 SMEM
+    seg_ref,  # (1, 1, L) int32: 1 = valid (suffix padding)
+    glob_ref,  # (1, 1, L) int32: 1 = global (prefix contract)
+    h_ref,  # (1, L, H) compute dtype
+    wqkv_ref,  # (3, H, H)
+    bqkv_ref,  # (3, 1, H) f32
+    wg_ref,  # (3, H, H) global projections
+    bg_ref,  # (3, 1, H) f32
+    wo_ref,  # (H, H)
+    bo_ref,  # (1, H) f32
+    o_ref,  # (1, L, H)
+    q_s,  # scratch (L, H) dt — pre-scaled q
+    kp_s,  # scratch (L + 2C, H) dt
+    vp_s,  # scratch (L + 2C, H) dt
+    ctx_s,  # scratch (L, H) f32
+    *,
+    num_heads: int,
+    head_dim: int,
+    seq_len: int,
+    half: int,
+    n_globals: int,
+    sm_scale: float,
+    drop_thr: int,
+    keep_prob: float,
+    global_rows: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, C, G = seq_len, half, n_globals
+    nh, hd = num_heads, head_dim
+    H = nh * hd
+    nc = L // C
+
+    x = h_ref[0]
+    seg2 = seg_ref[0]
+    glb2 = glob_ref[0]
+    n_valid = jnp.sum((seg2 > 0).astype(jnp.int32))
+    n_glob = jnp.sum((glb2 > 0).astype(jnp.int32)) if global_rows else 0
+
+    q_s[:] = (_proj3(x, wqkv_ref, bqkv_ref, 0) * sm_scale).astype(x.dtype)
+    zpad = jnp.zeros((C, H), x.dtype)
+    kp_s[0:C, :] = zpad
+    kp_s[C : C + L, :] = _proj3(x, wqkv_ref, bqkv_ref, 1).astype(x.dtype)
+    kp_s[C + L :, :] = zpad
+    vp_s[0:C, :] = zpad
+    vp_s[C : C + L, :] = _proj3(x, wqkv_ref, bqkv_ref, 2).astype(x.dtype)
+    vp_s[C + L :, :] = zpad
+
+    if drop_thr > 0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    gi = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    gbias = jnp.where(gi < n_glob, 0.0, NEG_INF).astype(jnp.float32)
+
+    ci = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 1)
+    in_band = jnp.abs(cj - C - ci) <= C
+
+    gk_all = kp_s[C : C + G, :]
+    gv_all = vp_s[C : C + G, :]
+
+    def chunk_body(i, _):
+        r0 = i * C
+        key_abs = r0 - C + cj
+        allowed = in_band & (key_abs >= n_glob) & (key_abs < n_valid)
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+        qc = q_s[pl.ds(r0, C), :]
+        kb = kp_s[pl.ds(r0, 3 * C), :]
+        vb = vp_s[pl.ds(r0, 3 * C), :]
+        parts = []
+        for h in range(nh):
+            col = slice(h * hd, (h + 1) * hd)
+            sc = (
+                jax.lax.dot_general(
+                    qc[:, col], kb[:, col], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias
+            )
+            if global_rows:
+                gsc = (
+                    jax.lax.dot_general(
+                        qc[:, col], gk_all[:, col], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + gbias
+                )
+                m = jnp.maximum(
+                    jnp.max(sc, axis=-1, keepdims=True),
+                    jnp.max(gsc, axis=-1, keepdims=True),
+                )
+            else:
+                m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp((sc - m).astype(x.dtype))
+            denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            if global_rows:
+                pg = jnp.exp((gsc - m).astype(x.dtype))
+                denom = denom + jnp.sum(
+                    pg, axis=-1, keepdims=True, dtype=jnp.float32
+                )
+            if drop_thr > 0:
+                bits = pltpu.prng_random_bits((C, 3 * C))
+                keep = bits.astype(jnp.uint32) >= jnp.uint32(drop_thr)
+                p = jnp.where(keep, p, jnp.zeros_like(p))
+                if global_rows:
+                    gbits = pltpu.prng_random_bits((C, G))
+                    gkeep = gbits.astype(jnp.uint32) >= jnp.uint32(drop_thr)
+                    pg = jnp.where(gkeep, pg, jnp.zeros_like(pg))
+                denom = denom * keep_prob
+            ctxh = jax.lax.dot_general(
+                p.astype(x.dtype), vb[:, col], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if global_rows:
+                ctxh = ctxh + jax.lax.dot_general(
+                    pg.astype(x.dtype), gv_all[:, col], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            parts.append(ctxh / denom)
+        ctx_s[pl.ds(r0, C), :] = jnp.concatenate(parts, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, nc, chunk_body, 0)
+
+    if global_rows:
+        xg = x[:G]
+        qg = (_proj3(xg, wg_ref, bg_ref, 0) * sm_scale).astype(x.dtype)
+        kg = _proj3(x, wg_ref, bg_ref, 1).astype(x.dtype)
+        vg = _proj3(x, wg_ref, bg_ref, 2).astype(x.dtype)
+
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        key_bias = jnp.where(li < n_valid, 0.0, NEG_INF).astype(jnp.float32)
+        cg_parts = []
+        for h in range(nh):
+            col = slice(h * hd, (h + 1) * hd)
+            sc = (
+                jax.lax.dot_general(
+                    qg[:, col], kg[:, col], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + key_bias
+            )
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp((sc - m).astype(x.dtype))
+            denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            if drop_thr > 0:
+                bits = pltpu.prng_random_bits((G, L))
+                keep = bits.astype(jnp.uint32) >= jnp.uint32(drop_thr)
+                p = jnp.where(keep, p, jnp.zeros_like(p))
+                denom = denom * keep_prob
+            cgh = jax.lax.dot_general(
+                p.astype(x.dtype), vg[:, col], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cg_parts.append(cgh / denom)
+        cg = jnp.concatenate(cg_parts, axis=1)  # (G, H) f32
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        row_is_global = ri < n_glob
+        cg_pad = jnp.concatenate(
+            [cg, jnp.zeros((L - G, H), jnp.float32)], axis=0
+        )
+        ctx = jnp.where(row_is_global, cg_pad, ctx_s[:])
+    else:
+        ctx = ctx_s[:]
+
+    out = (
+        jnp.dot(ctx.astype(x.dtype), wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[:]
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _sliding_train_bwd_kernel(
+    seed_ref,
+    seg_ref,
+    glob_ref,
+    h_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wg_ref,
+    bg_ref,
+    wo_ref,
+    g_ref,  # (1, L, H) upstream cotangent
+    dx_ref,  # (1, L, H)
+    dwqkv_ref,  # (3, H, H) f32 accumulated over batch grid
+    dbqkv_ref,  # (3, 1, H) f32
+    dwg_ref,  # (3, H, H) f32
+    dbg_ref,  # (3, 1, H) f32
+    dwo_ref,  # (H, H) f32
+    dbo_ref,  # (1, H) f32
+    q_s,  # (L, H) dt
+    kp_s,  # (L + 2C, H) dt
+    vp_s,  # (L + 2C, H) dt
+    dq_s,  # (L, H) f32 — d(q_scaled)
+    dk_s,  # (L + 2C, H) f32 — band-accumulated
+    dv_s,  # (L + 2C, H) f32
+    ctx_s,  # (L, H) f32 — recomputed fwd ctx (for dWo)
+    *,
+    num_heads: int,
+    head_dim: int,
+    seq_len: int,
+    half: int,
+    n_globals: int,
+    sm_scale: float,
+    drop_thr: int,
+    keep_prob: float,
+    global_rows: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, C, G = seq_len, half, n_globals
+    nh, hd = num_heads, head_dim
+    H = nh * hd
+    nc = L // C
+    b = pl.program_id(0)
+
+    x = h_ref[0]
+    g = g_ref[0]
+    seg2 = seg_ref[0]
+    glb2 = glob_ref[0]
+    n_valid = jnp.sum((seg2 > 0).astype(jnp.int32))
+    n_glob = jnp.sum((glb2 > 0).astype(jnp.int32)) if global_rows else 0
+
+    # recompute projections exactly as fwd
+    q_s[:] = (_proj3(x, wqkv_ref, bqkv_ref, 0) * sm_scale).astype(x.dtype)
+    zpadd = jnp.zeros((C, H), x.dtype)
+    kp_s[0:C, :] = zpadd
+    kp_s[C : C + L, :] = _proj3(x, wqkv_ref, bqkv_ref, 1).astype(x.dtype)
+    kp_s[C + L :, :] = zpadd
+    vp_s[0:C, :] = zpadd
+    vp_s[C : C + L, :] = _proj3(x, wqkv_ref, bqkv_ref, 2).astype(x.dtype)
+    vp_s[C + L :, :] = zpadd
+
+    dk_s[:] = jnp.zeros((L + 2 * C, H), jnp.float32)
+    dv_s[:] = jnp.zeros((L + 2 * C, H), jnp.float32)
+
+    # dctx = g @ Wo^T; global rows take the global path, banded rows the band
+    dctx_full = jax.lax.dot_general(
+        g, wo_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (L, H) f32
+    ri = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    row_is_global = ri < n_glob
+    dctx_band = jnp.where(row_is_global, 0.0, dctx_full).astype(x.dtype)
+
+    if drop_thr > 0:
+        # identical reseed + identical generation ORDER as forward
+        pltpu.prng_seed(seed_ref[0], b)
+
+    gi = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    gbias = jnp.where(gi < n_glob, 0.0, NEG_INF).astype(jnp.float32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (C, 3 * C), 1)
+    in_band = jnp.abs(cj - C - ci) <= C
+
+    gk_all = kp_s[C : C + G, :]
+    gv_all = vp_s[C : C + G, :]
+
+    def chunk_body(i, _):
+        r0 = i * C
+        key_abs = r0 - C + cj
+        allowed = in_band & (key_abs >= n_glob) & (key_abs < n_valid)
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+        qc = q_s[pl.ds(r0, C), :]
+        kb = kp_s[pl.ds(r0, 3 * C), :]
+        vb = vp_s[pl.ds(r0, 3 * C), :]
+        # dctx_band is a VALUE (not a ref): dynamic_slice, not pl.ds
+        dctx_c = jax.lax.dynamic_slice(dctx_band, (r0, 0), (C, H))
+        ctx_parts, dq_parts = [], []
+        dkb_parts, dvb_parts, dgk_parts, dgv_parts = [], [], [], []
+        for h in range(nh):
+            col = slice(h * hd, (h + 1) * hd)
+            qh, kbh, vbh = qc[:, col], kb[:, col], vb[:, col]
+            sc = (
+                jax.lax.dot_general(
+                    qh, kbh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias
+            )
+            if global_rows:
+                gsc = (
+                    jax.lax.dot_general(
+                        qh, gk_all[:, col], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + gbias
+                )
+                m = jnp.maximum(
+                    jnp.max(sc, axis=-1, keepdims=True),
+                    jnp.max(gsc, axis=-1, keepdims=True),
+                )
+            else:
+                m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp((sc - m).astype(x.dtype))
+            D = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            if global_rows:
+                eg = jnp.exp((gsc - m).astype(x.dtype))
+                D = D + jnp.sum(eg, axis=-1, keepdims=True, dtype=jnp.float32)
+            if drop_thr > 0:
+                bits = pltpu.prng_random_bits((C, 3 * C))
+                keep = bits.astype(jnp.uint32) >= jnp.uint32(drop_thr)
+                e_m = jnp.where(keep, e, jnp.zeros_like(e))
+                if global_rows:
+                    gbits = pltpu.prng_random_bits((C, G))
+                    gkeep = gbits.astype(jnp.uint32) >= jnp.uint32(drop_thr)
+                    eg_m = jnp.where(gkeep, eg, jnp.zeros_like(eg))
+                denom_eff = D * keep_prob
+            else:
+                e_m = e
+                if global_rows:
+                    eg_m = eg
+                denom_eff = D
+
+            dch = dctx_c[:, col]
+            # recompute ctx chunk for dWo (identical op order to fwd)
+            ctxh = jax.lax.dot_general(
+                e_m.astype(x.dtype), vbh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if global_rows:
+                ctxh = ctxh + jax.lax.dot_general(
+                    eg_m.astype(x.dtype), gv_all[:, col], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            ctx_parts.append(ctxh / denom_eff)
+
+            dp = jax.lax.dot_general(
+                dch, vbh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, 3C)
+            p_eff = e_m.astype(jnp.float32) / denom_eff
+            p = e.astype(jnp.float32) / D
+            rs = jnp.sum(dp * p_eff, axis=-1, keepdims=True)
+            if global_rows:
+                dpg = jax.lax.dot_general(
+                    dch, gv_all[:, col].astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (C, G)
+                pg_eff = eg_m.astype(jnp.float32) / denom_eff
+                pgp = eg.astype(jnp.float32) / D
+                rs = rs + jnp.sum(dpg * pg_eff, axis=-1, keepdims=True)
+            dS = (p_eff * dp - p * rs).astype(x.dtype)  # (C, 3C)
+            dq_h = jax.lax.dot_general(
+                dS, kbh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dkb_h = jax.lax.dot_general(
+                dS, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3C, hd)
+            dvb_h = jax.lax.dot_general(
+                p_eff.astype(x.dtype), dch.astype(x.dtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3C, hd)
+            if global_rows:
+                dSg = (pg_eff * dpg - pgp * rs).astype(x.dtype)  # (C, G)
+                dq_h = dq_h + jax.lax.dot_general(
+                    dSg, gk_all[:, col], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dgk_parts.append(
+                    jax.lax.dot_general(
+                        dSg, qh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # (G, hd)
+                dgv_parts.append(
+                    jax.lax.dot_general(
+                        pg_eff.astype(x.dtype), dch.astype(x.dtype),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # (G, hd)
+            dq_parts.append(dq_h)
+            dkb_parts.append(dkb_h)
+            dvb_parts.append(dvb_h)
+
+        ctx_s[pl.ds(r0, C), :] = jnp.concatenate(ctx_parts, axis=1)
+        dq_s[pl.ds(r0, C), :] = jnp.concatenate(dq_parts, axis=1)
+        dk_s[pl.ds(r0, 3 * C), :] += jnp.concatenate(dkb_parts, axis=1)
+        dv_s[pl.ds(r0, 3 * C), :] += jnp.concatenate(dvb_parts, axis=1)
+        if global_rows:
+            dk_s[pl.ds(C, G), :] += jnp.concatenate(dgk_parts, axis=1)
+            dv_s[pl.ds(C, G), :] += jnp.concatenate(dgv_parts, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, nc, chunk_body, 0)
+
+    # ---- global rows: recompute + backward through the *_global projections
+    if global_rows:
+        xg = x[:G]
+        qg = (_proj3(xg, wg_ref, bg_ref, 0) * sm_scale).astype(x.dtype)
+        kg = _proj3(x, wg_ref, bg_ref, 1).astype(x.dtype)
+        vg = _proj3(x, wg_ref, bg_ref, 2).astype(x.dtype)
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        key_bias = jnp.where(li < n_valid, 0.0, NEG_INF).astype(jnp.float32)
+        gri = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        # cotangent of the global rows (zero beyond n_glob)
+        dctx_g = jnp.where(gri < n_glob, dctx_full[:G], 0.0).astype(x.dtype)
+
+        cg_parts, dqg_parts, dkg_parts, dvg_parts = [], [], [], []
+        for h in range(nh):
+            col = slice(h * hd, (h + 1) * hd)
+            qgh, kgh, vgh = qg[:, col], kg[:, col], vg[:, col]
+            sc = (
+                jax.lax.dot_general(
+                    qgh, kgh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + key_bias
+            )
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp((sc - m).astype(x.dtype))
+            D = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            if drop_thr > 0:
+                bits = pltpu.prng_random_bits((G, L))
+                keep = bits.astype(jnp.uint32) >= jnp.uint32(drop_thr)
+                e_m = jnp.where(keep, e, jnp.zeros_like(e))
+                denom_eff = D * keep_prob
+            else:
+                e_m = e
+                denom_eff = D
+            dch = dctx_g[:, col]
+            cgh = (
+                jax.lax.dot_general(
+                    e_m.astype(x.dtype), vgh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                / denom_eff
+            )
+            cg_parts.append(cgh)
+            dp = jax.lax.dot_general(
+                dch, vgh.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, L)
+            p_eff = e_m.astype(jnp.float32) / denom_eff
+            p = e.astype(jnp.float32) / D
+            rs = jnp.sum(dp * p_eff, axis=-1, keepdims=True)
+            dS = (p_eff * dp - p * rs).astype(x.dtype)  # (G, L)
+            dqg_parts.append(
+                jax.lax.dot_general(
+                    dS, kgh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            dkg_parts.append(
+                jax.lax.dot_general(
+                    dS, qgh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (L, hd)
+            dvg_parts.append(
+                jax.lax.dot_general(
+                    p_eff.astype(x.dtype), dch.astype(x.dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (L, hd)
+        cg = jnp.concatenate(cg_parts, axis=1)
+        dqg = jnp.concatenate(dqg_parts, axis=1)  # (G, H) f32 — d(qg_scaled)
+        dkg = jnp.concatenate(dkg_parts, axis=1).astype(x.dtype)  # (L, H)
+        dvg = jnp.concatenate(dvg_parts, axis=1).astype(x.dtype)
+
+        cg_pad = jnp.concatenate(
+            [cg, jnp.zeros((L - G, H), jnp.float32)], axis=0
+        )
+        ctx = jnp.where(row_is_global, cg_pad, ctx_s[:])
+        dqg_us = (dqg * sm_scale).astype(x.dtype)  # (G, H)
+    else:
+        ctx = ctx_s[:]
+
+    # ---- assemble dx and weight grads --------------------------------------
+    dq_us = (dq_s[:] * sm_scale).astype(x.dtype)  # (L, H)
+    dk_us = dk_s[pl.ds(C, L), :].astype(x.dtype)
+    dv_us = dv_s[pl.ds(C, L), :].astype(x.dtype)
+
+    def back(d, idx, w_ref):
+        return jax.lax.dot_general(
+            d, w_ref[idx], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dx = back(dq_us, 0, wqkv_ref) + back(dk_us, 1, wqkv_ref) + back(
+        dv_us, 2, wqkv_ref
+    )
+    if global_rows:
+        dx = dx + back(dkg, 1, wg_ref) + back(dvg, 2, wg_ref)
+        dxg = back(dqg_us, 0, wg_ref)  # (G, H)
+        dx = dx + jnp.concatenate(
+            [dxg, jnp.zeros((L - G, H), jnp.float32)], axis=0
+        )
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    def wgrad(lhs, rhs):  # (L, H)^T (L, H) -> (H, H) f32
+        return jax.lax.dot_general(
+            lhs, rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dwq = wgrad(x, dq_us)
+    dwk = wgrad(x, dk_us)
+    dwv = wgrad(x, dv_us)
+    dbq = jnp.sum(dq_us.astype(jnp.float32), axis=0, keepdims=True)
+    dbk = jnp.sum(dk_us.astype(jnp.float32), axis=0, keepdims=True)
+    dbv = jnp.sum(dv_us.astype(jnp.float32), axis=0, keepdims=True)
+    dwo = jax.lax.dot_general(
+        ctx.astype(x.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbo = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+    if global_rows:
+        dwgq = jax.lax.dot_general(
+            xg, dqg_us, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwgk = wgrad(x, dkg)
+        dwgv = wgrad(x, dvg)
+        dbgq = jnp.sum(dqg_us.astype(jnp.float32), axis=0, keepdims=True)
+        dbgk = jnp.sum(dkg.astype(jnp.float32), axis=0, keepdims=True)
+        dbgv = jnp.sum(dvg.astype(jnp.float32), axis=0, keepdims=True)
+    else:
+        dwgq = dwgk = dwgv = jnp.zeros((H, H), jnp.float32)
+        dbgq = dbgk = dbgv = jnp.zeros((1, H), jnp.float32)
+
+    @pl.when(b == 0)
+    def _():
+        dwqkv_ref[0] = dwq
+        dwqkv_ref[1] = dwk
+        dwqkv_ref[2] = dwv
+        dbqkv_ref[0] = dbq
+        dbqkv_ref[1] = dbk
+        dbqkv_ref[2] = dbv
+        dwg_ref[0] = dwgq
+        dwg_ref[1] = dwgk
+        dwg_ref[2] = dwgv
+        dbg_ref[0] = dbgq
+        dbg_ref[1] = dbgk
+        dbg_ref[2] = dbgv
+        dwo_ref[:] = dwo
+        dbo_ref[:] = dbo
+
+    @pl.when(b > 0)
+    def _():
+        dwqkv_ref[0] += dwq
+        dwqkv_ref[1] += dwk
+        dwqkv_ref[2] += dwv
+        dbqkv_ref[0] += dbq
+        dbqkv_ref[1] += dbk
+        dbqkv_ref[2] += dbv
+        dwg_ref[0] += dwgq
+        dwg_ref[1] += dwgk
+        dwg_ref[2] += dwgv
+        dbg_ref[0] += dbgq
+        dbg_ref[1] += dbgk
+        dbg_ref[2] += dbgv
+        dwo_ref[:] += dwo
+        dbo_ref[:] += dbo
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP builder + public wrapper
+# ---------------------------------------------------------------------------
+
+
+def _specs(L, H):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+        pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),  # seg
+        pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),  # glob
+        pl.BlockSpec((1, L, H), lambda b: (b, 0, 0)),  # hidden
+        pl.BlockSpec((3, H, H), lambda b: (0, 0, 0)),  # wqkv
+        pl.BlockSpec((3, 1, H), lambda b: (0, 0, 0)),  # bqkv
+        pl.BlockSpec((3, H, H), lambda b: (0, 0, 0)),  # wg
+        pl.BlockSpec((3, 1, H), lambda b: (0, 0, 0)),  # bg
+        pl.BlockSpec((H, H), lambda b: (0, 0)),  # wo
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def make_sliding_attention_train(
+    num_heads: int,
+    head_dim: int,
+    sm_scale: float,
+    window: int,
+    max_globals: int,
+    rate: float,
+    global_rows: bool,
+    interpret: bool,
+):
+    """Build the custom-VJP fused sliding-window training attention.
+
+    Primals: (hidden (B,L,H) dt, seg (B,L) int32, glob (B,L) int32,
+    seed (1,) int32, wqkv (3,H,H) f32, bqkv (3,1,H) f32, wg (3,H,H) f32,
+    bg (3,1,H) f32, wo (H,H) f32, bo (1,H) f32) -> (B, L, H) attention
+    output BEFORE hidden dropout / residual / LN.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    thr = _dropout_threshold(rate) if rate > 0.0 else 0
+    keep_prob = 1.0 - rate
+    C = window // 2
+
+    def _kernel_kwargs(L, G):
+        return dict(
+            num_heads=num_heads,
+            head_dim=head_dim,
+            seq_len=L,
+            half=C,
+            n_globals=G,
+            sm_scale=sm_scale,
+            drop_thr=thr,
+            keep_prob=keep_prob,
+            global_rows=global_rows,
+        )
+
+    def fwd_call(hidden, seg, glob, seed, wqkv, bqkv, wg, bg, wo, bo):
+        B, L, H = hidden.shape
+        G = min(max(int(max_globals), 8), L)
+        dt = hidden.dtype
+        nh = num_heads
+        kernel = functools.partial(_sliding_train_fwd_kernel, **_kernel_kwargs(L, G))
+        flops = B * (
+            2 * 3 * L * H * H
+            + (2 * 3 * L * H * H if global_rows else 0)
+            + nh * L * (3 * C + G) * head_dim * 4
+            + (nh * G * L * head_dim * 4 if global_rows else 0)
+            + 2 * L * H * H
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=_specs(L, H) + [pl.BlockSpec((1, H), lambda b: (0, 0))],
+            out_specs=pl.BlockSpec((1, L, H), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, L, H), dt),
+            scratch_shapes=[
+                pltpu.VMEM((L, H), dt),
+                pltpu.VMEM((L + 2 * C, H), dt),
+                pltpu.VMEM((L + 2 * C, H), dt),
+                pltpu.VMEM((L, H), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=2 * B * L * H * 2,
+                transcendentals=B * nh * L * (3 * C + G),
+            ),
+            interpret=interpret,
+        )(
+            seed,
+            seg.astype(jnp.int32)[:, None, :],
+            glob.astype(jnp.int32)[:, None, :],
+            hidden,
+            wqkv.astype(dt),
+            bqkv.astype(jnp.float32),
+            wg.astype(dt),
+            bg.astype(jnp.float32),
+            wo.astype(dt),
+            bo.astype(jnp.float32),
+        )
+
+    @jax.custom_vjp
+    def attn(hidden, seg, glob, seed, wqkv, bqkv, wg, bg, wo, bo):
+        return fwd_call(hidden, seg, glob, seed, wqkv, bqkv, wg, bg, wo, bo)
+
+    def attn_fwd(hidden, seg, glob, seed, wqkv, bqkv, wg, bg, wo, bo):
+        out = fwd_call(hidden, seg, glob, seed, wqkv, bqkv, wg, bg, wo, bo)
+        return out, (hidden, seg, glob, seed, wqkv, bqkv, wg, bg, wo)
+
+    def attn_bwd(res, g):
+        hidden, seg, glob, seed, wqkv, bqkv, wg, bg, wo = res
+        B, L, H = hidden.shape
+        G = min(max(int(max_globals), 8), L)
+        dt = hidden.dtype
+        nh = num_heads
+        kernel = functools.partial(_sliding_train_bwd_kernel, **_kernel_kwargs(L, G))
+        acc3 = lambda b: (0, 0, 0)
+        flops = 3 * B * (
+            2 * 3 * L * H * H
+            + (2 * 3 * L * H * H if global_rows else 0)
+            + nh * L * (3 * C + G) * head_dim * 4
+            + (nh * G * L * head_dim * 4 if global_rows else 0)
+            + 2 * L * H * H
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=_specs(L, H) + [pl.BlockSpec((1, L, H), lambda b: (b, 0, 0))],
+            out_specs=[
+                pl.BlockSpec((1, L, H), lambda b: (b, 0, 0)),
+                pl.BlockSpec((3, H, H), acc3),
+                pl.BlockSpec((3, 1, H), acc3),
+                pl.BlockSpec((3, H, H), acc3),
+                pl.BlockSpec((3, 1, H), acc3),
+                pl.BlockSpec((H, H), lambda b: (0, 0)),
+                pl.BlockSpec((1, H), lambda b: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, L, H), dt),
+                jax.ShapeDtypeStruct((3, H, H), jnp.float32),
+                jax.ShapeDtypeStruct((3, 1, H), jnp.float32),
+                jax.ShapeDtypeStruct((3, H, H), jnp.float32),
+                jax.ShapeDtypeStruct((3, 1, H), jnp.float32),
+                jax.ShapeDtypeStruct((H, H), jnp.float32),
+                jax.ShapeDtypeStruct((1, H), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((L, H), dt),
+                pltpu.VMEM((L + 2 * C, H), dt),
+                pltpu.VMEM((L + 2 * C, H), dt),
+                pltpu.VMEM((L, H), jnp.float32),
+                pltpu.VMEM((L + 2 * C, H), jnp.float32),
+                pltpu.VMEM((L + 2 * C, H), jnp.float32),
+                pltpu.VMEM((L, H), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=4 * B * L * H * 2,
+                transcendentals=2 * B * nh * L * (3 * C + G),
+            ),
+            interpret=interpret,
+        )(
+            seed,
+            seg.astype(jnp.int32)[:, None, :],
+            glob.astype(jnp.int32)[:, None, :],
+            hidden,
+            wqkv.astype(dt),
+            bqkv.astype(jnp.float32),
+            wg.astype(dt),
+            bg.astype(jnp.float32),
+            wo.astype(dt),
+            g.astype(dt),
+        )
+        dx, dwqkv, dbqkv, dwg, dbg, dwo, dbo = outs
+        return (dx, _f0(seg), _f0(glob), _f0(seed), dwqkv, dbqkv, dwg, dbg,
+                dwo, dbo)
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn
+
+
+def sliding_attention_block_train(
+    hidden: Array,  # (B, L, H) compute dtype
+    attention_mask: Array,  # (B, L) int; suffix-padding contract
+    global_mask: Array,  # (B, L) int; prefix-globals contract
+    qkv_kernel: Array,  # (H, 3, nh, hd) f32 param (raw layout)
+    qkv_bias: Array,  # (3, nh, hd)
+    gqkv_kernel: Array,  # (H, 3, nh, hd) global projections
+    gqkv_bias: Array,
+    out_kernel: Array,  # (nh, hd, H)
+    out_bias: Array,  # (H,)
+    seed: Array,  # (1,) int32 dropout stream seed
+    sm_scale: float,
+    window: int,
+    max_globals: int = 8,
+    dropout_rate: float = 0.0,
+    global_rows: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """Differentiable fused Longformer attention block (TRAINING path).
+
+    Constraints: L % (window // 2) == 0 and (window // 2) % 8 == 0; padding
+    is a suffix; global tokens are a prefix of <= max_globals positions.
+    """
+    H, three, nh, hd = qkv_kernel.shape
+    assert three == 3
+    wqkv = qkv_kernel.transpose(1, 0, 2, 3).reshape(3, H, H)
+    bqkv = qkv_bias.reshape(3, 1, H)
+    wg = gqkv_kernel.transpose(1, 0, 2, 3).reshape(3, H, H)
+    bg = gqkv_bias.reshape(3, 1, H)
+    wo = out_kernel.reshape(H, H)
+    bo = out_bias.reshape(1, H)
+    C = window // 2
+    L = hidden.shape[1]
+    assert L % C == 0 and C % 8 == 0, (L, C)
+    fn = make_sliding_attention_train(
+        nh, hd, float(sm_scale), int(window), int(max_globals),
+        float(dropout_rate), bool(global_rows), bool(interpret),
+    )
+    return fn(hidden, attention_mask, global_mask, seed.astype(jnp.int32),
+              wqkv, bqkv, wg, bg, wo, bo)

@@ -127,10 +127,11 @@ def test_committed_bigbird_parity_artifact_passes_gate():
 
 
 def test_committed_electra_parity_artifact_passes_gate():
-    """Converged ELECTRA-trunk artifact. Single-seed variance on this tiny
-    recipe is real and symmetric: here torch leads (Pk 0.108 vs 0.252);
-    on the BERT trunk ours leads (0.216 vs 0.206 f1 0.70 vs 0.53); both
-    inside the 0.2 Pk gate."""
+    """Converged ELECTRA-trunk artifact, 3-seed mean±std (reference
+    protocol). Round-3's single-seed outlier (dPk 0.144, ours -0.25 F1)
+    was trajectory noise: at seeds {42,59,88} the mean dPk is 0.0199 with
+    per-seed deltas {0.012, 0.008, 0.040} — in line with the other
+    trunks."""
     path = os.path.join(
         os.path.dirname(__file__), "..", "PARITY_E2E_ELECTRA.json"
     )

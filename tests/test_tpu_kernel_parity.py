@@ -269,3 +269,81 @@ def test_train_fused_kernels_dropout_on_chip():
         jnp.max(jnp.abs(g_fused.astype(jnp.float32) - g_oracle))
     ) / scale_d
     assert err_d < 0.05, err_d
+
+
+def test_train_sliding_kernel_on_chip():
+    """Sliding-window training kernel (ops/pallas/train_sliding.py) on the
+    chip at the flagship recipe's shape (Longformer window 512, L=2048):
+
+    - rate=0 grads match the chunked-einsum oracle (bf16 tol)
+    - rate>0: dropout is real and unbiased in expectation
+    """
+    from spokennlp_tpu.ops.pallas.train_sliding import (
+        sliding_attention_block_train,
+    )
+    from spokennlp_tpu.ops.sliding_attention import (
+        chunked_sliding_window_attention,
+    )
+
+    B, L, H, nh, W = 2, 2048, 768, 12, 512
+    hd = H // nh
+    s = 1.0 / hd**0.5
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32) * 0.5)
+    mask = np.ones((B, L), np.int32)
+    mask[0, 1500:] = 0  # suffix padding
+    mask = jnp.asarray(mask)
+    glob = jnp.asarray((np.arange(L)[None] < 1).astype(np.int32)).repeat(B, 0)
+    qkv_k = jnp.asarray(rng.normal(size=(H, 3, nh, hd)).astype(np.float32) * 0.05)
+    qkv_b = jnp.zeros((3, nh, hd), jnp.float32)
+    gqkv_k = jnp.asarray(rng.normal(size=(H, 3, nh, hd)).astype(np.float32) * 0.05)
+    gqkv_b = jnp.zeros((3, nh, hd), jnp.float32)
+    out_k = jnp.asarray(rng.normal(size=(nh, hd, H)).astype(np.float32) * 0.05)
+    out_b = jnp.zeros((H,), jnp.float32)
+    seed = jnp.asarray([77], jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    cot = cot * (mask > 0)[:, :, None]
+    xb = x.astype(jnp.bfloat16)
+
+    def f_kernel(xx, rate):
+        o = sliding_attention_block_train(
+            xx, mask, glob, qkv_k, qkv_b, gqkv_k, gqkv_b, out_k, out_b,
+            seed, s, W, max_globals=16, dropout_rate=rate,
+        )
+        return jnp.sum(o.astype(jnp.float32) * cot)
+
+    def f_oracle(xx):
+        q = jnp.einsum("blh,hsnd->blsnd", xx, qkv_k) + qkv_b
+        q, k, v = q[:, :, 0], q[:, :, 1], q[:, :, 2]
+        ctx = chunked_sliding_window_attention(q, k, v, mask, glob, W,
+                                               max_globals=16)
+        qkv_g = jnp.einsum("blh,hsnd->blsnd", xx, gqkv_k) + gqkv_b
+        qg, kg, vg = qkv_g[:, :, 0], qkv_g[:, :, 1], qkv_g[:, :, 2]
+        g_scores = jnp.einsum("blnd,bmnd->bnlm", qg * s, kg)
+        pad_bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        g_probs = jax.nn.softmax(
+            (g_scores + pad_bias).astype(jnp.float32), axis=-1
+        )
+        g_ctx = jnp.einsum("bnlm,bmnd->blnd", g_probs, vg)
+        ctx = jnp.where(glob.astype(bool)[:, :, None, None], g_ctx, ctx)
+        o = jnp.einsum("blnd,ndh->blh", ctx, out_k) + out_b
+        return jnp.sum(o.astype(jnp.float32) * cot)
+
+    gk = jax.jit(jax.grad(lambda xx: f_kernel(xx, 0.0)))(xb)
+    go = jax.jit(jax.grad(f_oracle))(x)
+    scale = float(jnp.max(jnp.abs(go))) + 1e-9
+    err = float(jnp.max(jnp.abs(gk.astype(jnp.float32) - go))) / scale
+    assert err < 0.05, err
+
+    # dropout active on chip: real masks, expectation preserved
+    def out_at(rate):
+        return sliding_attention_block_train(
+            xb, mask, glob, qkv_k, qkv_b, gqkv_k, gqkv_b, out_k, out_b,
+            seed, s, W, max_globals=16, dropout_rate=rate,
+        ).astype(jnp.float32)
+
+    o0, o1 = np.asarray(out_at(0.0)), np.asarray(out_at(0.3))
+    valid = np.broadcast_to(np.asarray(mask > 0)[:, :, None], o0.shape)
+    assert float(np.mean(np.abs(o1 - o0)[valid])) > 1e-3
+    m0, m1 = float(np.mean(np.abs(o0[valid]))), float(np.mean(np.abs(o1[valid])))
+    assert 0.8 < m1 / m0 < 1.25, (m0, m1)
