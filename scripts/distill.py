@@ -150,8 +150,16 @@ def _evaluate_jax(model, params, eval_docs, wcfg):
 
 def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
                      kd_weight: float, kd_temp: float, train_docs, eval_docs,
-                     wcfg):
-    """Logit-distillation training of one student depth."""
+                     wcfg, student_lr: float = 5e-4):
+    """Logit-distillation training of one student depth.
+
+    The student starts FROM the teacher's weights (evenly spaced layers),
+    so it trains at a lower LR than the from-scratch teacher recipe
+    (hp.learning_rate would scramble the initialization before the weaker
+    CE+KD signal could recover it — measured: students at lr 2e-3 landed
+    WORSE than a from-scratch 2-layer with the full recipe). Both windowed
+    views carry CE+KD, mirroring the dual-view structure of the teacher
+    recipe."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -171,7 +179,7 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
     steps_per_epoch = max(n_windows // hp.batch_size, 1)
     total_steps = max(int(steps_per_epoch * hp.epochs), 1)
 
-    sched = optax.linear_schedule(hp.learning_rate, 0.0, total_steps)
+    sched = optax.linear_schedule(student_lr, 0.0, total_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
@@ -183,20 +191,25 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
 
     @jax.jit
     def step(s_params, opt_state, t_params, ids, mask, tt, labels, rng):
+        # ids/mask/tt/labels: (B, 2, ...) paired views; CE+KD on both
+        B2 = ids.shape[0]
+        flat = lambda a: a.reshape((B2 * 2,) + a.shape[2:])
+        fids, fmask, ftt, flabels = map(flat, (ids, mask, tt, labels))
         t_out = teacher_model.apply(
-            {"params": t_params}, ids, attention_mask=mask,
-            token_type_ids=tt, deterministic=True)
+            {"params": t_params}, fids, attention_mask=fmask,
+            token_type_ids=ftt, deterministic=True)
         t_logits = jax.lax.stop_gradient(t_out["token_logits"])
 
         def loss_fn(p):
             out = student.apply(
-                {"params": p}, ids, attention_mask=mask, token_type_ids=tt,
+                {"params": p}, fids, attention_mask=fmask,
+                token_type_ids=ftt,
                 deterministic=False, rngs={"dropout": rng})
             s_logits = out["token_logits"]
             ce = loss_ops.cross_entropy_with_ignore(
-                s_logits, labels, class_weights=class_w)
+                s_logits, flabels, class_weights=class_w)
             # temperature-scaled KL at live-label positions, x T^2 (Hinton)
-            live = (labels != IGNORE).astype(jnp.float32)
+            live = (flabels != IGNORE).astype(jnp.float32)
             t_lp = jax.nn.log_softmax(t_logits / kd_temp, -1)
             s_lp = jax.nn.log_softmax(s_logits / kd_temp, -1)
             kl = (jnp.exp(t_lp) * (t_lp - s_lp)).sum(-1)
@@ -218,10 +231,10 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
             key, sub = jax.random.split(key)
             s_params, opt_state, loss, ce, kl = step(
                 s_params, opt_state, teacher_params,
-                jnp.asarray(b["input_ids"][:, 0]),
-                jnp.asarray(b["attention_mask"][:, 0]),
-                jnp.asarray(b["token_type_ids"][:, 0]),
-                jnp.asarray(b["labels"][:, 0]),
+                jnp.asarray(b["input_ids"]),
+                jnp.asarray(b["attention_mask"]),
+                jnp.asarray(b["token_type_ids"]),
+                jnp.asarray(b["labels"]),
                 sub,
             )
             n += 1
@@ -233,7 +246,8 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
     return metrics, s_params
 
 
-def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float) -> dict:
+def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
+              student_lr: float = 5e-4) -> dict:
     import jax.numpy as jnp
 
     from spokennlp_tpu.configs import TopicSegConfig, WindowingConfig
@@ -244,8 +258,14 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float) -> dict:
 
     assets = build_assets(workdir, hp)
 
-    # 12-layer teacher through the real CLI (saves final_model)
-    teacher_metrics = parity_e2e.run_jax(assets, hp)
+    # 12-layer teacher through the real CLI (saves final_model); an
+    # existing final_model is reused (re-running the stage to iterate on
+    # the student recipe does not retrain the teacher)
+    final_model = os.path.join(workdir, "jax_out", "final_model")
+    if os.path.isdir(final_model):
+        teacher_metrics = {"reused_existing_teacher": True}
+    else:
+        teacher_metrics = parity_e2e.run_jax(assets, hp)
 
     tok = BertTokenizer.from_pretrained(assets["model_dir"])
     tokenize_fn = lambda s: tok(s, add_special_tokens=False)["input_ids"]
@@ -270,9 +290,16 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float) -> dict:
 
     students = {}
     for depth in STUDENT_DEPTHS:
+        # diagnostic: quality straight off the teacher-layer initialization
+        init_eval = _evaluate_jax(
+            TopicSegModel(
+                dataclasses.replace(enc_cfg, num_layers=depth), task_cfg),
+            _student_params_from_teacher(t_params, depth), eval_docs, wcfg)
         m, _ = _distill_student(
             assets, hp, teacher_model, t_params, depth, kd_weight, kd_temp,
-            train_docs, eval_docs, wcfg)
+            train_docs, eval_docs, wcfg, student_lr=student_lr)
+        m["init_pk"] = init_eval["pk"]
+        m["init_f1"] = init_eval["f1"]
         students[str(depth)] = m
         print(f"[distill] student {depth}L: {m}", flush=True)
 
@@ -280,6 +307,7 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float) -> dict:
         "hp": dataclasses.asdict(hp),
         "kd_weight": kd_weight,
         "kd_temp": kd_temp,
+        "student_lr": student_lr,
         "jax_teacher_12l": {**teacher_metrics, **{f"win_{k}": v for k, v in teacher_eval.items()}},
         "students": students,
     }
@@ -342,6 +370,7 @@ def main():
     ap.add_argument("--epochs", type=float, default=None)
     ap.add_argument("--kd_weight", type=float, default=1.0)
     ap.add_argument("--kd_temp", type=float, default=2.0)
+    ap.add_argument("--student_lr", type=float, default=5e-4)
     ap.add_argument("--gate", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="PARITY_DISTILL.json")
@@ -362,7 +391,8 @@ def main():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
-        stage_jax(args.workdir, hp, args.kd_weight, args.kd_temp)
+        stage_jax(args.workdir, hp, args.kd_weight, args.kd_temp,
+                  student_lr=args.student_lr)
     else:
         stage_emit(args.workdir, args.gate, args.out)
 

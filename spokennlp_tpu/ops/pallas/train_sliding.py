@@ -268,10 +268,11 @@ def _sliding_train_bwd_kernel(
     q_s,  # (L, H) dt
     kp_s,  # (L + 2C, H) dt
     vp_s,  # (L + 2C, H) dt
-    dq_s,  # (L, H) f32 — d(q_scaled)
+    dq_s,  # (L, H) dt — d(q_scaled); dt like the dense kernel's dq parts
     dk_s,  # (L + 2C, H) f32 — band-accumulated
     dv_s,  # (L + 2C, H) f32
     ctx_s,  # (L, H) f32 — recomputed fwd ctx (for dWo)
+    dctxb_s,  # (L, H) dt — banded-row cotangent (staged for pl.ds reads)
     *,
     num_heads: int,
     head_dim: int,
@@ -318,7 +319,9 @@ def _sliding_train_bwd_kernel(
     )  # (L, H) f32
     ri = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
     row_is_global = ri < n_glob
-    dctx_band = jnp.where(row_is_global, 0.0, dctx_full).astype(x.dtype)
+    # staged through scratch: Mosaic has no dynamic_slice on values, so the
+    # chunk loop reads it back with pl.ds
+    dctxb_s[:] = jnp.where(row_is_global, 0.0, dctx_full).astype(x.dtype)
 
     if drop_thr > 0:
         # identical reseed + identical generation ORDER as forward
@@ -341,8 +344,7 @@ def _sliding_train_bwd_kernel(
         qc = q_s[pl.ds(r0, C), :]
         kb = kp_s[pl.ds(r0, 3 * C), :]
         vb = vp_s[pl.ds(r0, 3 * C), :]
-        # dctx_band is a VALUE (not a ref): dynamic_slice, not pl.ds
-        dctx_c = jax.lax.dynamic_slice(dctx_band, (r0, 0), (C, H))
+        dctx_c = dctxb_s[pl.ds(r0, C), :]
         ctx_parts, dq_parts = [], []
         dkb_parts, dvb_parts, dgk_parts, dgv_parts = [], [], [], []
         for h in range(nh):
@@ -455,8 +457,8 @@ def _sliding_train_bwd_kernel(
             dkb_parts.append(dkb_h)
             dvb_parts.append(dvb_h)
 
-        ctx_s[pl.ds(r0, C), :] = jnp.concatenate(ctx_parts, axis=1)
-        dq_s[pl.ds(r0, C), :] = jnp.concatenate(dq_parts, axis=1)
+        ctx_s[pl.ds(r0, C), :] = jnp.concatenate(ctx_parts, axis=1).astype(x.dtype)
+        dq_s[pl.ds(r0, C), :] = jnp.concatenate(dq_parts, axis=1).astype(x.dtype)
         dk_s[pl.ds(r0, 3 * C), :] += jnp.concatenate(dkb_parts, axis=1)
         dv_s[pl.ds(r0, 3 * C), :] += jnp.concatenate(dvb_parts, axis=1)
         if global_rows:
@@ -542,7 +544,7 @@ def _sliding_train_bwd_kernel(
         dvg = jnp.concatenate(dvg_parts, axis=1).astype(x.dtype)
 
         cg_pad = jnp.concatenate(
-            [cg, jnp.zeros((L - G, H), jnp.float32)], axis=0
+            [cg.astype(x.dtype), jnp.zeros((L - G, H), x.dtype)], axis=0
         )
         ctx = jnp.where(row_is_global, cg_pad, ctx_s[:])
         dqg_us = (dqg * sm_scale).astype(x.dtype)  # (G, H)
@@ -793,10 +795,11 @@ def make_sliding_attention_train(
                 pltpu.VMEM((L, H), dt),
                 pltpu.VMEM((L + 2 * C, H), dt),
                 pltpu.VMEM((L + 2 * C, H), dt),
-                pltpu.VMEM((L, H), jnp.float32),
-                pltpu.VMEM((L + 2 * C, H), jnp.float32),
-                pltpu.VMEM((L + 2 * C, H), jnp.float32),
-                pltpu.VMEM((L, H), jnp.float32),
+                pltpu.VMEM((L, H), dt),  # dq
+                pltpu.VMEM((L + 2 * C, H), jnp.float32),  # dk accumulator
+                pltpu.VMEM((L + 2 * C, H), jnp.float32),  # dv accumulator
+                pltpu.VMEM((L, H), dt),  # recomputed ctx
+                pltpu.VMEM((L, H), dt),  # staged banded cotangent
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
