@@ -47,11 +47,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # synthetic speech-token -> text corpus
 # --------------------------------------------------------------------------
 
-N_WORDS = 16  # word i <-> speech pair (i, (i + 7) % N_WORDS)
+N_WORDS = 16  # word i <-> speech pair (base(i), (base(i) + 7) % N_WORDS)
+
+# Words 8..15 form four HOMOPHONE pairs ((8,12), (9,13), (10,14), (11,15)):
+# their speech tokens are identical, so the text is irreducibly ambiguous on
+# ~50% of tokens and the best achievable dev WER is ~0.25. A saturated
+# WER 0.0 = 0.0 artifact discriminates nothing (a dropped KL term would
+# still pass — round-3 VERDICT weak #3); this floor pins both frameworks to
+# a NONZERO operating point the gate can actually compare.
 
 
 def word_to_speech(i: int):
-    return [i, (i + 7) % N_WORDS]
+    base = i if i < 8 else 8 + (i - 8) % 4
+    return [base, (base + 7) % N_WORDS]
 
 
 def gen_row(rng: random.Random):
@@ -306,13 +314,20 @@ def run_parity(workdir: str, hp: HP, gate: float = 0.2, n_train=240, n_eval=48):
     torch_m = run_torch(assets, hp)
     jax_m = run_jax(assets, hp)
     delta = {"wer": abs(torch_m["wer"] - jax_m["wer"])}
+    # the homophone corpus pins the converged WER floor near 0.25; a side
+    # landing at 0.0 (task saturated) or ~1.0 (no learning) is out of the
+    # discriminative operating band and fails regardless of the delta
+    operating_point_ok = all(
+        0.05 <= m["wer"] <= 0.7 for m in (torch_m, jax_m)
+    )
     result = {
         "hp": dataclasses.asdict(hp),
         "torch": torch_m,
         "jax": jax_m,
         "abs_delta": delta,
         "gate": gate,
-        "pass": bool(delta["wer"] <= gate),
+        "operating_point_ok": operating_point_ok,
+        "pass": bool(delta["wer"] <= gate and operating_point_ok),
     }
     with open(os.path.join(workdir, "parity_sld_results.json"), "w") as f:
         json.dump(result, f, indent=2, default=float)

@@ -42,18 +42,21 @@ def test_sld_parity_full_converged(tmp_path):
     result = parity_sld.run_parity(str(tmp_path), parity_sld.HP())
     assert result["pass"], result
     # both sides must actually learn the code (undertrained babble sits
-    # at WER >= ~0.9)
-    assert result["torch"]["wer"] < 0.5, result
-    assert result["jax"]["wer"] < 0.5, result
+    # at WER >= ~0.9) AND sit on the nonzero homophone floor (~0.25): a
+    # saturated WER 0.0 artifact discriminates nothing (round-3 VERDICT)
+    assert 0.05 <= result["torch"]["wer"] < 0.5, result
+    assert 0.05 <= result["jax"]["wer"] < 0.5, result
     assert result["abs_delta"]["wer"] <= 0.2
 
 
 def test_committed_sld_parity_artifact_passes_gate():
-    """The committed converged-run artifact must itself satisfy the gate."""
+    """The committed converged-run artifact must itself satisfy the gate,
+    at a NONZERO operating point (homophone corpus WER floor ~0.25)."""
     path = os.path.join(os.path.dirname(__file__), "..", "PARITY_SLD.json")
     with open(path) as f:
         result = json.load(f)
     assert result["pass"]
     assert result["abs_delta"]["wer"] <= 0.2
-    assert result["torch"]["wer"] < 0.5
-    assert result["jax"]["wer"] < 0.5
+    assert 0.05 <= result["torch"]["wer"] < 0.5
+    assert 0.05 <= result["jax"]["wer"] < 0.5
+    assert result.get("operating_point_ok", False)
