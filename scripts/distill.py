@@ -150,7 +150,7 @@ def _evaluate_jax(model, params, eval_docs, wcfg):
 
 def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
                      kd_weight: float, kd_temp: float, train_docs, eval_docs,
-                     wcfg, student_lr: float = 5e-4):
+                     wcfg, student_lr: float = 5e-4, hid_weight: float = 0.0):
     """Logit-distillation training of one student depth.
 
     The student starts FROM the teacher's weights (evenly spaced layers),
@@ -159,7 +159,12 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
     CE+KD signal could recover it — measured: students at lr 2e-3 landed
     WORSE than a from-scratch 2-layer with the full recipe). Both windowed
     views carry CE+KD, mirroring the dual-view structure of the teacher
-    recipe."""
+    recipe.
+
+    hid_weight > 0 adds a TinyBERT-style intermediate-layer loss: MSE
+    between the student's post-layer hidden states and the teacher's at
+    the mapped layers (LAYER_MAPS), masked to live (unpadded) tokens.
+    Same hidden width, so no projection is needed."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -195,16 +200,21 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
         B2 = ids.shape[0]
         flat = lambda a: a.reshape((B2 * 2,) + a.shape[2:])
         fids, fmask, ftt, flabels = map(flat, (ids, mask, tt, labels))
+        want_hid = hid_weight > 0.0
         t_out = teacher_model.apply(
             {"params": t_params}, fids, attention_mask=fmask,
-            token_type_ids=ftt, deterministic=True)
+            token_type_ids=ftt, deterministic=True,
+            output_hidden_states=want_hid)
         t_logits = jax.lax.stop_gradient(t_out["token_logits"])
+        t_hid = (tuple(jax.lax.stop_gradient(h) for h in t_out["hidden_states"])
+                 if want_hid else None)
 
         def loss_fn(p):
             out = student.apply(
                 {"params": p}, fids, attention_mask=fmask,
                 token_type_ids=ftt,
-                deterministic=False, rngs={"dropout": rng})
+                deterministic=False, rngs={"dropout": rng},
+                output_hidden_states=want_hid)
             s_logits = out["token_logits"]
             ce = loss_ops.cross_entropy_with_ignore(
                 s_logits, flabels, class_weights=class_w)
@@ -214,7 +224,23 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
             s_lp = jax.nn.log_softmax(s_logits / kd_temp, -1)
             kl = (jnp.exp(t_lp) * (t_lp - s_lp)).sum(-1)
             kl = (kl * live).sum() / jnp.maximum(live.sum(), 1.0)
-            return ce + kd_weight * (kd_temp ** 2) * kl, (ce, kl)
+            loss = ce + kd_weight * (kd_temp ** 2) * kl
+            if want_hid:
+                # hidden_states[0] is embeddings; student layer j maps to
+                # teacher layer LAYER_MAPS[depth][j] (post-layer outputs)
+                tok = fmask.astype(jnp.float32)[..., None]  # (B2*2, L, 1)
+                H = out["hidden_states"][0].shape[-1]
+                denom = jnp.maximum(tok.sum(), 1.0) * H
+                hid = 0.0
+                pairs = [(0, 0)] + [
+                    (j + 1, t + 1) for j, t in enumerate(LAYER_MAPS[depth])
+                ]
+                for sj, tj in pairs:
+                    d = (out["hidden_states"][sj] - t_hid[tj]) * tok
+                    hid = hid + (d * d).sum() / denom
+                hid = hid / len(pairs)
+                loss = loss + hid_weight * hid
+            return loss, (ce, kl)
 
         (loss, (ce, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(s_params)
         updates, opt_state = tx.update(grads, opt_state, s_params)
@@ -247,7 +273,7 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
 
 
 def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
-              student_lr: float = 5e-4) -> dict:
+              student_lr: float = 5e-4, hid_weight: float = 0.0) -> dict:
     import jax.numpy as jnp
 
     from spokennlp_tpu.configs import TopicSegConfig, WindowingConfig
@@ -297,7 +323,8 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
             _student_params_from_teacher(t_params, depth), eval_docs, wcfg)
         m, _ = _distill_student(
             assets, hp, teacher_model, t_params, depth, kd_weight, kd_temp,
-            train_docs, eval_docs, wcfg, student_lr=student_lr)
+            train_docs, eval_docs, wcfg, student_lr=student_lr,
+            hid_weight=hid_weight)
         m["init_pk"] = init_eval["pk"]
         m["init_f1"] = init_eval["f1"]
         students[str(depth)] = m
@@ -308,6 +335,7 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
         "kd_weight": kd_weight,
         "kd_temp": kd_temp,
         "student_lr": student_lr,
+        "hid_weight": hid_weight,
         "jax_teacher_12l": {**teacher_metrics, **{f"win_{k}": v for k, v in teacher_eval.items()}},
         "students": students,
     }
@@ -353,7 +381,99 @@ def stage_emit(workdir: str, gate: float, out_path: str) -> dict:
         "serving_depth": min(passing) if passing else None,
         "pass": bool(passing),
         "hp": torch12["hp"],
-        "kd": {"weight": jaxd["kd_weight"], "temp": jaxd["kd_temp"]},
+        "kd": {"weight": jaxd["kd_weight"], "temp": jaxd["kd_temp"],
+               "hid_weight": jaxd.get("hid_weight", 0.0)},
+    }
+    blob = json.dumps(result, indent=2, default=float)
+    print(blob)
+    with open(out_path, "w") as f:
+        f.write(blob + "\n")
+    return result
+
+
+def stage_emit_multi(workdirs: list, gate: float, out_path: str) -> dict:
+    """3-seed mean±std distill artifact (the reference's seed protocol,
+    run_finetune.sh:50 / statistics_of_result.py) — one workdir per seed,
+    each holding torch12.json + jax_distill.json. The gate applies to the
+    MEAN per-depth |ΔPk|/|ΔWD| vs the per-seed torch 12L anchors."""
+    per_seed = []
+    for wd in workdirs:
+        with open(os.path.join(wd, "torch12.json")) as f:
+            torch12 = json.load(f)
+        with open(os.path.join(wd, "jax_distill.json")) as f:
+            jaxd = json.load(f)
+        anchor = torch12["torch"]
+        students = {}
+        for depth, m in jaxd["students"].items():
+            students[depth] = {
+                "metrics": m,
+                "abs_delta_vs_torch12": {
+                    k: abs(m[k] - anchor[k]) for k in ("f1", "pk", "wd")
+                },
+            }
+        per_seed.append({
+            "seed": torch12["hp"]["seed"],
+            "torch_12l": anchor,
+            "jax_teacher_12l": jaxd["jax_teacher_12l"],
+            "students": students,
+            "kd": {"weight": jaxd["kd_weight"], "temp": jaxd["kd_temp"],
+                   "hid_weight": jaxd.get("hid_weight", 0.0)},
+        })
+
+    def agg(values):
+        return (float(np.mean(values)), float(np.std(values)))
+
+    keys = ("f1", "pk", "wd")
+    torch_mean = {k: agg([s["torch_12l"][k] for s in per_seed]) for k in keys}
+    depths = sorted(per_seed[0]["students"], key=int)
+    rows = {}
+    for d in depths:
+        mean_delta = {
+            k: agg([s["students"][d]["abs_delta_vs_torch12"][k]
+                    for s in per_seed])
+            for k in keys
+        }
+        mean_metrics = {
+            k: agg([s["students"][d]["metrics"][k] for s in per_seed])
+            for k in keys
+        }
+        rows[d] = {
+            "metrics_mean_std": mean_metrics,
+            "abs_delta_vs_torch12_mean_std": mean_delta,
+            "within_gate": bool(mean_delta["pk"][0] <= gate
+                                and mean_delta["wd"][0] <= gate),
+        }
+    passing = [int(d) for d, r in rows.items() if r["within_gate"]]
+    result = {
+        "what": (
+            "3-seed quality evidence for the distilled serving trunk: per "
+            "seed in {42, 59, 88}, a torch 12-layer reference oracle vs our "
+            "12-layer teacher and distilled students (CE + logit KL + "
+            "intermediate hidden-state MSE; scripts/distill.py, harness "
+            "scale h=64 L=128); gate on the mean |dPk|/|dWD|"
+        ),
+        "gate": gate,
+        "seeds": [s["seed"] for s in per_seed],
+        "torch_12l_mean_std": torch_mean,
+        "students_mean_std": rows,
+        "per_seed": per_seed,
+        "serving_depth": min(passing) if passing else None,
+        "pass": bool(passing),
+        # flat single-number views (means) — the schema bench.py reads
+        "torch_12l": {k: torch_mean[k][0] for k in keys},
+        "students": {
+            dd: {
+                "metrics": {k: rows[dd]["metrics_mean_std"][k][0]
+                            for k in keys},
+                "abs_delta_vs_torch12": {
+                    k: rows[dd]["abs_delta_vs_torch12_mean_std"][k][0]
+                    for k in keys
+                },
+                "within_gate": rows[dd]["within_gate"],
+            }
+            for dd in depths
+        },
+        "kd": per_seed[0]["kd"],
     }
     blob = json.dumps(result, indent=2, default=float)
     print(blob)
@@ -366,15 +486,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--stage", required=True,
-                    choices=["torch12", "jax", "emit"])
+                    choices=["torch12", "jax", "emit", "emit_multi"])
     ap.add_argument("--epochs", type=float, default=None)
     ap.add_argument("--kd_weight", type=float, default=1.0)
     ap.add_argument("--kd_temp", type=float, default=2.0)
     ap.add_argument("--student_lr", type=float, default=5e-4)
+    ap.add_argument("--hid_weight", type=float, default=0.0,
+                    help="TinyBERT-style intermediate hidden-state MSE weight")
     ap.add_argument("--gate", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="PARITY_DISTILL.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--workdirs", default=None,
+                    help="comma-separated per-seed workdirs (emit_multi)")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -392,7 +516,10 @@ def main():
 
             jax.config.update("jax_platforms", "cpu")
         stage_jax(args.workdir, hp, args.kd_weight, args.kd_temp,
-                  student_lr=args.student_lr)
+                  student_lr=args.student_lr, hid_weight=args.hid_weight)
+    elif args.stage == "emit_multi":
+        assert args.workdirs, "--workdirs required for emit_multi"
+        stage_emit_multi(args.workdirs.split(","), args.gate, args.out)
     else:
         stage_emit(args.workdir, args.gate, args.out)
 

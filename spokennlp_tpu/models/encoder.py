@@ -413,6 +413,48 @@ class SelfAttention(nn.Module):
                 None,
             )
         if (
+            impl == "train_fused"
+            and cfg.attention_type == "bigbird"
+            and raw_attention_mask is not None
+        ):
+            # TRAINING fused BigBird block with a custom VJP: every
+            # score/probability piece recomputed flash-style in the backward
+            # kernel (ops/pallas/train_bigbird.py; contract: suffix padding)
+            from spokennlp_tpu.ops.pallas.train_bigbird import (
+                bigbird_attention_block_train,
+            )
+
+            qkv_kernel, qkv_bias = qkv_proj(hidden, layout="raw")
+            out_kernel, out_bias = AttnOutProj(
+                H, dtype=self.dtype, num_heads=nh, head_dim=hd, name="out"
+            )(hidden, layout="raw")
+            rate = float(cfg.attention_dropout) if not deterministic else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return (
+                bigbird_attention_block_train(
+                    hidden,
+                    raw_attention_mask,
+                    qkv_kernel,
+                    qkv_bias,
+                    out_kernel,
+                    out_bias,
+                    seed,
+                    sm_scale=1.0 / float(hd) ** 0.5,
+                    block_size=cfg.bigbird_block_size,
+                    num_global_blocks=cfg.bigbird_num_global_blocks,
+                    num_random_blocks=cfg.bigbird_num_random_blocks,
+                    pattern_seed=cfg.bigbird_seed,
+                    dropout_rate=rate,
+                    interpret=jax.default_backend() == "cpu",
+                ),
+                None,
+            )
+        if (
             impl == "fused"
             and cfg.attention_type == "dense"
             and flash_segment_ids is not None
@@ -672,6 +714,7 @@ class TransformerLayer(nn.Module):
         sliding_global_rows: bool = True,
         bigbird_fused: bool = False,
         sliding_train_fused: bool = False,
+        bigbird_train_fused: bool = False,
     ):
         cfg = self.config
         impl = attention_impl or cfg.attention_impl
@@ -743,7 +786,14 @@ class TransformerLayer(nn.Module):
             and global_mask is not None
             and not output_attentions
         )
-        if train_fused or train_fused_sliding:
+        train_fused_bigbird = (
+            bigbird_train_fused
+            and impl == "train_fused"
+            and cfg.attention_type == "bigbird"
+            and raw_attention_mask is not None
+            and not output_attentions
+        )
+        if train_fused or train_fused_sliding or train_fused_bigbird:
             # TRAINING fused path: attention block + MLP core are Pallas
             # kernels with custom VJPs (flash-style recompute, in-kernel prob
             # dropout); hidden-state dropout / residual / LN stay in XLA.
@@ -759,7 +809,9 @@ class TransformerLayer(nn.Module):
                 flash_segment_ids=flash_segment_ids,
                 global_mask=global_mask if train_fused_sliding else None,
                 raw_attention_mask=(
-                    raw_attention_mask if train_fused_sliding else None
+                    raw_attention_mask
+                    if (train_fused_sliding or train_fused_bigbird)
+                    else None
                 ),
                 attention_impl="train_fused",
                 sliding_global_rows=sliding_global_rows,
@@ -969,6 +1021,7 @@ class Encoder(nn.Module):
         sliding_train_fused = False
         bigbird_block = False
         bigbird_fused = False
+        bigbird_train_fused = False
         if use_flash or use_pallas:
             if pack_segment_ids is not None:
                 # pad tokens = 0, window i = i+1 (caller contract)
@@ -1002,7 +1055,21 @@ class Encoder(nn.Module):
                 f"bigbird needs L ({L}) divisible by block_size "
                 f"({cfg.bigbird_block_size})"
             )
-            if bb_impl == "fused" and bigbird_fused_ok:
+            bigbird_train_ok = (
+                impl == "train_fused"
+                and not output_attentions
+                and prefix_globals is not None  # suffix-padding promise
+                and L % cfg.bigbird_block_size == 0
+                and cfg.bigbird_block_size % 8 == 0
+            )
+            if impl == "train_fused" and not bigbird_train_ok:
+                impl = "einsum"  # contract not met: XLA block/bias training
+            if bigbird_train_ok:
+                # custom-VJP fused BigBird training block
+                # (ops/pallas/train_bigbird.py); bias stays None, the raw
+                # mask flows to the layer
+                bigbird_train_fused = True
+            elif bb_impl == "fused" and bigbird_fused_ok:
                 bigbird_fused = True
             elif bb_impl == "bias":
                 bias = bigbird_attention_bias(
@@ -1127,7 +1194,8 @@ class Encoder(nn.Module):
             # pass instead of storing its activations (bool/str args are
             # static; self counts as argnum 0)
             layer_cls = nn.remat(
-                TransformerLayer, static_argnums=(3, 4, 6, 10, 11, 12, 13, 14, 15)
+                TransformerLayer,
+                static_argnums=(3, 4, 6, 10, 11, 12, 13, 14, 15, 16),
             )
         for i in range(cfg.num_layers):
             hidden, probs = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
@@ -1151,6 +1219,7 @@ class Encoder(nn.Module):
                         or sliding_fused
                         or sliding_train_fused
                         or bigbird_fused
+                        or bigbird_train_fused
                     )
                     else None
                 ),
@@ -1160,6 +1229,7 @@ class Encoder(nn.Module):
                 (prefix_globals or 0) > 0,
                 bigbird_fused,
                 sliding_train_fused,
+                bigbird_train_fused,
             )
             if output_hidden_states:
                 all_hidden = all_hidden + (hidden,)

@@ -59,6 +59,7 @@ class TopicSegModel(nn.Module):
         position_ids: Optional[Array] = None,
         pack_segment_ids: Optional[Array] = None,
         deterministic: bool = True,
+        output_hidden_states: bool = False,
     ) -> Dict[str, Array]:
         prefix_globals = None
         if self.enc_cfg.attention_type == "bigbird":
@@ -80,10 +81,16 @@ class TopicSegModel(nn.Module):
             pack_segment_ids=pack_segment_ids,
             deterministic=deterministic,
             prefix_globals=prefix_globals,
+            output_hidden_states=output_hidden_states,
         )
         seq = self.head_dropout(out.last_hidden_state, deterministic=deterministic)
         token_logits = self.classifier(seq)
         result = {"seq_output": seq, "token_logits": token_logits}
+        if output_hidden_states:
+            # per-layer (B, L, H) incl. embeddings — feeds the feature dumper
+            # (reference: extract_features.py) and intermediate-layer
+            # distillation (scripts/distill.py)
+            result["hidden_states"] = out.hidden_states
         if sent_positions is not None:
             sent_feats = cssl_ops.gather_sentence_features(seq, sent_positions)
             result["sent_features"] = sent_feats

@@ -347,3 +347,71 @@ def test_train_sliding_kernel_on_chip():
     assert float(np.mean(np.abs(o1 - o0)[valid])) > 1e-3
     m0, m1 = float(np.mean(np.abs(o0[valid]))), float(np.mean(np.abs(o1[valid])))
     assert 0.8 < m1 / m0 < 1.25, (m0, m1)
+
+
+def test_train_bigbird_kernel_on_chip():
+    """BigBird training kernel (ops/pallas/train_bigbird.py) on the chip at
+    a long-context recipe shape (BigBird-base blocks of 64, L=2048):
+
+    - rate=0 grads match the block-sparse XLA oracle (bf16 tol)
+    - rate>0: dropout is real and unbiased in expectation
+    """
+    from spokennlp_tpu.ops.bigbird_attention import (
+        bigbird_block_sparse_attention,
+    )
+    from spokennlp_tpu.ops.pallas.train_bigbird import (
+        bigbird_attention_block_train,
+    )
+
+    B, L, H, nh = 2, 2048, 768, 12
+    hd = H // nh
+    BSZ, G, R, PSEED = 64, 2, 3, 0
+    s = 1.0 / hd**0.5
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32) * 0.5)
+    mask = np.ones((B, L), np.int32)
+    mask[0, 1500:] = 0  # suffix padding
+    mask = jnp.asarray(mask)
+    qkv_k = jnp.asarray(rng.normal(size=(H, 3, nh, hd)).astype(np.float32) * 0.05)
+    qkv_b = jnp.zeros((3, nh, hd), jnp.float32)
+    out_k = jnp.asarray(rng.normal(size=(nh, hd, H)).astype(np.float32) * 0.05)
+    out_b = jnp.zeros((H,), jnp.float32)
+    seed = jnp.asarray([77], jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    cot = cot * (mask > 0)[:, :, None]
+    xb = x.astype(jnp.bfloat16)
+
+    def f_kernel(xx, rate):
+        o = bigbird_attention_block_train(
+            xx, mask, qkv_k, qkv_b, out_k, out_b, seed, s,
+            block_size=BSZ, num_global_blocks=G, num_random_blocks=R,
+            pattern_seed=PSEED, dropout_rate=rate,
+        )
+        return jnp.sum(o.astype(jnp.float32) * cot)
+
+    def f_oracle(xx):
+        q = jnp.einsum("blh,hsnd->blsnd", xx, qkv_k) + qkv_b
+        q, k, v = q[:, :, 0], q[:, :, 1], q[:, :, 2]
+        ctx = bigbird_block_sparse_attention(q, k, v, mask, BSZ, G, R, PSEED)
+        o = jnp.einsum("blnd,ndh->blh", ctx, out_k) + out_b
+        return jnp.sum(o.astype(jnp.float32) * cot)
+
+    gk = jax.jit(jax.grad(lambda xx: f_kernel(xx, 0.0)))(xb)
+    go = jax.jit(jax.grad(f_oracle))(x)
+    scale = float(jnp.max(jnp.abs(go))) + 1e-9
+    err = float(jnp.max(jnp.abs(gk.astype(jnp.float32) - go))) / scale
+    assert err < 0.05, err
+
+    # dropout active on chip: real masks, expectation preserved
+    def out_at(rate):
+        return bigbird_attention_block_train(
+            xb, mask, qkv_k, qkv_b, out_k, out_b, seed, s,
+            block_size=BSZ, num_global_blocks=G, num_random_blocks=R,
+            pattern_seed=PSEED, dropout_rate=rate,
+        ).astype(jnp.float32)
+
+    o0, o1 = np.asarray(out_at(0.0)), np.asarray(out_at(0.3))
+    valid = np.broadcast_to(np.asarray(mask > 0)[:, :, None], o0.shape)
+    assert float(np.mean(np.abs(o1 - o0)[valid])) > 1e-3
+    m0, m1 = float(np.mean(np.abs(o0[valid]))), float(np.mean(np.abs(o1[valid])))
+    assert 0.8 < m1 / m0 < 1.25, (m0, m1)
