@@ -273,7 +273,8 @@ def _distill_student(assets, hp, teacher_model, teacher_params, depth: int,
 
 
 def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
-              student_lr: float = 5e-4, hid_weight: float = 0.0) -> dict:
+              student_lr: float = 5e-4, hid_weight: float = 0.0,
+              depths=STUDENT_DEPTHS) -> dict:
     import jax.numpy as jnp
 
     from spokennlp_tpu.configs import TopicSegConfig, WindowingConfig
@@ -315,7 +316,7 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
     teacher_eval = _evaluate_jax(teacher_model, t_params, eval_docs, wcfg)
 
     students = {}
-    for depth in STUDENT_DEPTHS:
+    for depth in depths:
         # diagnostic: quality straight off the teacher-layer initialization
         init_eval = _evaluate_jax(
             TopicSegModel(
@@ -493,6 +494,8 @@ def main():
     ap.add_argument("--student_lr", type=float, default=5e-4)
     ap.add_argument("--hid_weight", type=float, default=0.0,
                     help="TinyBERT-style intermediate hidden-state MSE weight")
+    ap.add_argument("--depths", default=None,
+                    help="comma-separated student depths (default 6,4)")
     ap.add_argument("--gate", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="PARITY_DISTILL.json")
@@ -515,8 +518,11 @@ def main():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
+        depths = (tuple(int(d) for d in args.depths.split(","))
+                  if args.depths else STUDENT_DEPTHS)
         stage_jax(args.workdir, hp, args.kd_weight, args.kd_temp,
-                  student_lr=args.student_lr, hid_weight=args.hid_weight)
+                  student_lr=args.student_lr, hid_weight=args.hid_weight,
+                  depths=depths)
     elif args.stage == "emit_multi":
         assert args.workdirs, "--workdirs required for emit_multi"
         stage_emit_multi(args.workdirs.split(","), args.gate, args.out)

@@ -971,16 +971,17 @@ class Encoder(nn.Module):
                 on_tpu
                 and not deterministic
                 and not output_attentions
-                and cfg.attention_type in ("dense", "sliding_window")
+                and cfg.attention_type in ("dense", "sliding_window", "bigbird")
             ):
                 # TRAINING: custom-VJP fused blocks (train_blocks.py dense /
-                # train_sliding.py banded+global) — no (nh, L, L) or (L, 3C)
-                # residuals in HBM, hardware-PRNG prob dropout
+                # train_sliding.py banded+global / train_bigbird.py ITC) —
+                # no (nh, L, L) or (L, 3C) residuals in HBM, hardware-PRNG
+                # prob dropout
                 impl = "train_fused"
             else:
                 impl = "einsum"
         if impl == "train_fused" and cfg.attention_type not in (
-            "dense", "sliding_window"
+            "dense", "sliding_window", "bigbird"
         ):
             impl = "einsum"
         if (
