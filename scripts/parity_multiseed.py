@@ -45,6 +45,7 @@ GATE_KEYS = {
     "parity_mug:topic_segmentation": ("pos_f1",),
     "parity_mug:extractive_summarization": ("rouge1_f",),
     "parity_ditto": ("spearman",),
+    "parity_titlegen": ("rouge1_f",),
 }
 
 

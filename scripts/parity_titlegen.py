@@ -1,0 +1,557 @@
+"""Cross-framework end-to-end quality-parity harness #8: MUG Track 3
+(PALM 2.0 topic-title generation).
+
+Companion to parity_{e2e,aid,sld,mmvts,ditto,mug,kpe}. Closes the last
+uncovered MUG track at the SYSTEM level: from the SAME randomly-initialized
+ModelScope palm_v2-layout checkpoint and the SAME synthetic meeting corpus,
+
+  (a) a torch oracle of the PALM 2.0 architecture our framework implements
+      (pre-norm OpenNMT TransformerDecoder + CopyGenerator pointer-
+      generator — the semantics pinned structurally by tests/test_palm.py
+      against models/palm.py; reference baseline:
+      alimeeting4mug/src/topic_title_generation/
+      palm_subtitle_generation.py:371-396, noam LR :326), trained
+      teacher-forced with adam+noam and beam-decoded, and
+
+  (b) this framework's own run_title_generation CLI (--model_arch palm
+      --palm_checkpoint <shared checkpoint>), which loads the checkpoint
+      through hf_convert.palm_to_params — so the harness also exercises the
+      palm_v2 conversion mapping on a real torch state-dict file,
+
+then scores BOTH sides with the same multi-reference rouge the CLI uses
+(challenge_evaluate.py:349 semantics) and compares rouge-1 F.
+
+The synthetic corpus makes titles derivable from the source: each topic's
+title is a two-word phrase whose words are repeated throughout the topic's
+sentences among filler words, so a converged pointer-generator copies them
+out (rouge-1 well above the filler baseline). Both sides share the
+BertTokenizer vocab (whole words, no subword splits), the initial weights,
+the recipe, and the decode procedure; parity is metrics-level at
+convergence.
+
+Usage:  python scripts/parity_titlegen.py --workdir /tmp/parity_ttg
+Pytest: tests/test_reference_parity_titlegen.py. Committed artifact:
+PARITY_TITLEGEN.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+NEG = -1e9
+
+
+# --------------------------------------------------------------------------
+# hyperparameters (shared by both sides)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HP:
+    hidden_size: int = 64
+    num_hidden_layers: int = 2
+    num_decoder_layers: int = 2
+    num_attention_heads: int = 4
+    intermediate_size: int = 128
+    max_source_length: int = 96
+    max_target_length: int = 8
+    batch_size: int = 8
+    epochs: int = 60
+    noam_factor: float = 1.0
+    warmup_steps: int = 100
+    num_beams: int = 2
+    dropout: float = 0.1
+    seed: int = 42
+
+
+# --------------------------------------------------------------------------
+# corpus + tokenizer
+# --------------------------------------------------------------------------
+
+TOPIC_WORDS = [
+    "budget", "roadmap", "hiring", "launch", "metrics", "design", "survey",
+    "pricing", "support", "onboard", "billing", "quality", "testing",
+    "release", "vendor", "training", "storage", "network", "security",
+    "payroll",
+]
+FILLER = ["we", "should", "discuss", "the", "next", "item", "about", "team",
+          "meeting", "plan", "today", "and", "also", "review", "update"]
+
+
+def write_tokenizer(tokdir: str):
+    os.makedirs(tokdir, exist_ok=True)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + TOPIC_WORDS + FILLER
+    with open(os.path.join(tokdir, "vocab.txt"), "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    with open(os.path.join(tokdir, "tokenizer_config.json"), "w") as f:
+        json.dump({"tokenizer_class": "BertTokenizer",
+                   "do_lower_case": True}, f)
+    from transformers import BertTokenizer
+
+    return BertTokenizer.from_pretrained(tokdir)
+
+
+def gen_meeting(rng: np.random.Generator, key: str) -> dict:
+    """MUG-schema meeting: 3 topics, title = the topic's 2-word phrase,
+    whose words repeat through the topic's sentences among filler."""
+    sentences, topics = [], []
+    for _ in range(3):
+        w1, w2 = rng.choice(TOPIC_WORDS, size=2, replace=False)
+        n_sent = int(rng.integers(3, 6))
+        for _ in range(n_sent):
+            words = list(rng.choice(FILLER, size=int(rng.integers(3, 6))))
+            # plant the title words (both, most sentences)
+            pos = rng.integers(0, len(words) + 1)
+            words.insert(int(pos), str(w1))
+            if rng.random() < 0.8:
+                pos = rng.integers(0, len(words) + 1)
+                words.insert(int(pos), str(w2))
+            sentences.append({"s": " ".join(words) + " "})
+        topics.append({
+            "id": len(sentences),
+            "candidate": [{"title": f"{w1} {w2}"}],
+        })
+    return {"meeting_key": key, "sentences": sentences,
+            "topic_segment_ids": topics}
+
+
+def build_assets(workdir: str, hp: HP, n_train: int = 24, n_dev: int = 8):
+    rng = np.random.default_rng(0)  # corpus seed fixed; hp.seed = training
+    tok = write_tokenizer(os.path.join(workdir, "tok"))
+    paths = {}
+    for split, n in (("train", n_train), ("dev", n_dev)):
+        p = os.path.join(workdir, f"{split}.jsonl")
+        with open(p, "w") as f:
+            for i in range(n):
+                f.write(json.dumps(gen_meeting(rng, f"{split}{i}")) + "\n")
+        paths[split] = p
+    return tok, paths
+
+
+# --------------------------------------------------------------------------
+# shared checkpoint (palm_v2 layout)
+# --------------------------------------------------------------------------
+
+
+def make_checkpoint(workdir: str, hp: HP, vocab_size: int):
+    """Random palm_v2-layout state dict; encoder weights from a real HF
+    BertModel so BOTH sides start from identical parameters."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(7)
+    H, INTER = hp.hidden_size, hp.intermediate_size
+    bert = BertModel(
+        BertConfig(
+            vocab_size=vocab_size, hidden_size=H,
+            num_hidden_layers=hp.num_hidden_layers,
+            num_attention_heads=hp.num_attention_heads,
+            intermediate_size=INTER,
+            max_position_embeddings=max(hp.max_source_length, 512),
+            hidden_dropout_prob=hp.dropout,
+            attention_probs_dropout_prob=hp.dropout,
+        ),
+        add_pooling_layer=False,
+    )
+    sd = {"palm.encoder." + k: v.detach().numpy().copy()
+          for k, v in bert.state_dict().items()}
+
+    def lin(name, din, dout):
+        sd[name + ".weight"] = rng.normal(0, 0.08, size=(dout, din)).astype(np.float32)
+        sd[name + ".bias"] = np.zeros((dout,), np.float32)
+
+    def ln(name):
+        sd[name + ".weight"] = np.ones((H,), np.float32)
+        sd[name + ".bias"] = np.zeros((H,), np.float32)
+
+    sd["palm.decoder.embeddings.weight"] = rng.normal(
+        0, 0.05, size=(vocab_size, H)).astype(np.float32)
+    for i in range(hp.num_decoder_layers):
+        lp = f"palm.decoder.transformer_layers.{i}."
+        for attn in ("self_attn", "context_attn"):
+            for nm in ("linear_query", "linear_keys", "linear_values",
+                       "final_linear"):
+                lin(lp + attn + "." + nm, H, H)
+        ln(lp + "layer_norm_1")
+        ln(lp + "layer_norm_2")
+        ln(lp + "feed_forward.layer_norm")
+        lin(lp + "feed_forward.w_1", H, INTER)
+        lin(lp + "feed_forward.w_2", INTER, H)
+    ln("palm.decoder.layer_norm")
+    lin("generator.linear", H, vocab_size)
+    lin("generator.linear_copy", H, 1)
+
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               os.path.join(ckpt_dir, "pytorch_model.bin"))
+    return ckpt_dir, sd
+
+
+# --------------------------------------------------------------------------
+# shared featurization + rouge (the CLI's exact semantics)
+# --------------------------------------------------------------------------
+
+
+def pairs_from(path, tokenize, require_refs):
+    from spokennlp_tpu.projects.mug.data import parse_title_generation, read_jsonl
+
+    out = []
+    for meeting in read_jsonl(path):
+        for t in parse_title_generation(meeting):
+            refs = [x for x in t["titles"] if x]
+            if not t["source"] or (require_refs and not refs):
+                continue
+            out.append({"source": t["source"], "titles": refs})
+    return out
+
+
+def featurize(rows, tok, hp: HP):
+    pad_id = tok.pad_token_id or 0
+    bos_id = tok.cls_token_id
+    eos_id = tok.sep_token_id
+    S, T = hp.max_source_length, hp.max_target_length
+    enc = lambda s: tok(s, add_special_tokens=False)["input_ids"]
+    n = len(rows)
+    ids = np.zeros((n, S), np.int32)
+    am = np.zeros((n, S), np.int32)
+    dec_in = np.full((n, T), pad_id, np.int32)
+    dec_am = np.zeros((n, T), np.int32)
+    labels = np.full((n, T), -100, np.int32)
+    for i, r in enumerate(rows):
+        src = enc(r["source"])[:S]
+        ids[i, : len(src)] = src
+        am[i, : len(src)] = 1
+        ref = r["titles"][0] if r["titles"] else ""
+        tgt = enc(ref)[: T - 1] + [eos_id]
+        dec_in[i, 0] = bos_id
+        dec_in[i, 1 : len(tgt)] = tgt[:-1]
+        dec_am[i, : len(tgt)] = 1
+        labels[i, : len(tgt)] = tgt
+    return {"input_ids": ids, "attention_mask": am,
+            "decoder_input_ids": dec_in, "decoder_attention_mask": dec_am,
+            "labels": labels}
+
+
+def rouge_eval(hyps, rows):
+    from spokennlp_tpu.eval.rouge import rouge_scores
+
+    r1 = rl = m = 0.0
+    for hyp, r in zip(hyps, rows):
+        if not r["titles"]:
+            continue
+        scores = [rouge_scores([hyp], [ref]) for ref in r["titles"]]
+        r1 += float(np.mean([sc["rouge-1"]["f"] for sc in scores]))
+        rl += float(np.mean([sc["rouge-l"]["f"] for sc in scores]))
+        m += 1
+    m = m or 1
+    return {"rouge1_f": r1 / m, "rougel_f": rl / m}
+
+
+# --------------------------------------------------------------------------
+# torch oracle: PALM architecture, trained + beam-decoded
+# --------------------------------------------------------------------------
+
+
+def run_torch(workdir: str, tok, paths, hp: HP, sd: dict) -> dict:
+    import torch
+    import torch.nn.functional as F
+    from transformers import BertConfig, BertModel
+
+    from spokennlp_tpu.models.palm import sinusoidal_positions
+
+    torch.manual_seed(hp.seed)
+    H, NH = hp.hidden_size, hp.num_attention_heads
+    HD = H // NH
+    vocab_size = len(tok)
+
+    bert = BertModel(
+        BertConfig(
+            vocab_size=vocab_size, hidden_size=H,
+            num_hidden_layers=hp.num_hidden_layers,
+            num_attention_heads=NH,
+            intermediate_size=hp.intermediate_size,
+            max_position_embeddings=max(hp.max_source_length, 512),
+            hidden_dropout_prob=hp.dropout,
+            attention_probs_dropout_prob=hp.dropout,
+        ),
+        add_pooling_layer=False,
+    )
+    bert.load_state_dict({
+        k[len("palm.encoder."):]: torch.from_numpy(v)
+        for k, v in sd.items() if k.startswith("palm.encoder.")
+    })
+    dec_params = torch.nn.ParameterDict({
+        k.replace(".", "__"): torch.nn.Parameter(torch.from_numpy(v.copy()))
+        for k, v in sd.items() if not k.startswith("palm.encoder.")
+    })
+
+    def P(name):
+        return dec_params[name.replace(".", "__")]
+
+    def lin(x, name):
+        return F.linear(x, P(name + ".weight"), P(name + ".bias"))
+
+    def ln(x, name):
+        return F.layer_norm(x, (H,), P(name + ".weight"), P(name + ".bias"),
+                            1e-6)
+
+    pe_np = sinusoidal_positions(hp.max_target_length, H)
+
+    def mha(lp, attn, q_in, kv, bias, training):
+        q = lin(q_in, lp + attn + ".linear_query")
+        k = lin(kv, lp + attn + ".linear_keys")
+        v = lin(kv, lp + attn + ".linear_values")
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        q = q.view(B, Lq, NH, HD).transpose(1, 2)
+        k = k.view(B, Lk, NH, HD).transpose(1, 2)
+        v = v.view(B, Lk, NH, HD).transpose(1, 2)
+        s = q @ k.transpose(-1, -2) / (HD ** 0.5) + bias
+        p = s.softmax(-1)
+        pd = F.dropout(p, hp.dropout, training=training)
+        ctx = (pd @ v).transpose(1, 2).reshape(B, Lq, H)
+        return lin(ctx, lp + attn + ".final_linear"), p
+
+    def forward(batch, training):
+        src_ids = torch.from_numpy(batch["input_ids"]).long()
+        src_mask = torch.from_numpy(batch["attention_mask"]).long()
+        tgt_ids = torch.from_numpy(batch["decoder_input_ids"]).long()
+        tgt_mask = torch.from_numpy(batch["decoder_attention_mask"]).long()
+        bert.train(training)
+        enc_out = bert(input_ids=src_ids,
+                       attention_mask=src_mask).last_hidden_state
+        B, Lt = tgt_ids.shape
+        pe = torch.from_numpy(pe_np[:Lt])
+        x = P("palm.decoder.embeddings.weight")[tgt_ids] * (H ** 0.5) + pe[None]
+        x = F.dropout(x, hp.dropout, training=training)
+        causal = torch.tril(torch.ones(Lt, Lt, dtype=torch.bool))
+        causal = causal[None] & tgt_mask[:, None, :].bool()
+        self_bias = torch.where(causal, 0.0, NEG)[:, None]
+        cross_bias = (1.0 - src_mask.float())[:, None, None, :] * NEG
+        probs = None
+        drop = lambda t: F.dropout(t, hp.dropout, training=training)
+        for i in range(hp.num_decoder_layers):
+            lp = f"palm.decoder.transformer_layers.{i}."
+            xn = ln(x, lp + "layer_norm_1")
+            sa, _ = mha(lp, "self_attn", xn, xn, self_bias, training)
+            q = x + drop(sa)
+            qn = ln(q, lp + "layer_norm_2")
+            ca, probs = mha(lp, "context_attn", qn, enc_out, cross_bias,
+                            training)
+            m = q + drop(ca)
+            fn = ln(m, lp + "feed_forward.layer_norm")
+            inter = drop(F.gelu(lin(fn, lp + "feed_forward.w_1")))
+            x = m + drop(lin(inter, lp + "feed_forward.w_2"))
+        h = ln(x, "palm.decoder.layer_norm")
+        vocab_logits = lin(h, "generator.linear")
+        p_copy = torch.sigmoid(lin(h, "generator.linear_copy"))
+        p_vocab = vocab_logits.softmax(-1) * (1 - p_copy)
+        attn = probs.mean(1) * src_mask[:, None, :].float()
+        attn = attn / attn.sum(-1, keepdim=True).clamp(min=1e-9)
+        copy = attn * p_copy
+        p_final = p_vocab + torch.zeros_like(p_vocab).scatter_add(
+            2, src_ids[:, None, :].expand(-1, Lt, -1), copy
+        )
+        return torch.log(p_final.clamp(min=1e-9))
+
+    train_rows = pairs_from(paths["train"], tok, require_refs=True)
+    dev_rows = pairs_from(paths["dev"], tok, require_refs=False)
+    feats = featurize(train_rows, tok, hp)
+    dev_feats = featurize(dev_rows, tok, hp)
+
+    params = list(bert.parameters()) + list(dec_params.values())
+    opt = torch.optim.Adam(params, lr=1.0)  # lr set per step (noam)
+
+    def noam_lr(step):
+        step = step + 1
+        return (hp.noam_factor * hp.hidden_size ** -0.5
+                * min(step ** -0.5, step * hp.warmup_steps ** -1.5))
+
+    bos_id, eos_id = tok.cls_token_id, tok.sep_token_id
+    pad_id = tok.pad_token_id or 0
+
+    def beam_decode(feats_np, sl):
+        """Mirror of models/palm.py:palm_beam_decode (probability-space
+        top-k beam with per-beam finished/pad handling)."""
+        import torch as th
+
+        K = hp.num_beams
+        T = hp.max_target_length
+        src = feats_np["input_ids"][sl]
+        msk = feats_np["attention_mask"][sl]
+        B = src.shape[0]
+        enc_ids = np.repeat(src, K, 0)
+        enc_mask = np.repeat(msk, K, 0)
+        dec = np.full((B, K, T), pad_id, np.int32)
+        dec[:, :, 0] = bos_id
+        dmask = np.zeros((B, K, T), np.int32)
+        dmask[:, :, 0] = 1
+        scores = np.where(np.arange(K) == 0, 0.0, NEG)[None].repeat(B, 0)
+        finished = np.zeros((B, K), bool)
+        for t in range(1, T):
+            with th.no_grad():
+                logp_all = forward({
+                    "input_ids": enc_ids, "attention_mask": enc_mask,
+                    "decoder_input_ids": dec.reshape(B * K, T),
+                    "decoder_attention_mask": dmask.reshape(B * K, T),
+                }, training=False).numpy()
+            logp = logp_all[:, t - 1, :].reshape(B, K, -1)
+            V = logp.shape[-1]
+            pad_only = np.full((V,), NEG)
+            pad_only[pad_id] = 0.0
+            logp = np.where(finished[..., None], pad_only[None, None], logp)
+            cand = (scores[..., None] + logp).reshape(B, K * V)
+            idx = np.argsort(-cand, axis=1)[:, :K]
+            scores = np.take_along_axis(cand, idx, 1)
+            beam_idx, tokid = idx // V, idx % V
+            dec = np.take_along_axis(dec, beam_idx[..., None], 1)
+            dmask = np.take_along_axis(dmask, beam_idx[..., None], 1)
+            finished = np.take_along_axis(finished, beam_idx, 1)
+            dec[:, :, t] = np.where(finished, pad_id, tokid)
+            dmask[:, :, t] = (~finished).astype(np.int32)
+            finished = finished | (tokid == eos_id)
+            if finished.all():
+                break
+        return dec[:, 0]
+
+    def decode_eval():
+        hyps = []
+        bs = hp.batch_size
+        for s in range(0, len(dev_rows), bs):
+            rows = beam_decode(dev_feats, slice(s, min(s + bs, len(dev_rows))))
+            for row in rows:
+                toks = [int(x) for x in row[1:]]
+                if eos_id in toks:
+                    toks = toks[: toks.index(eos_id)]
+                hyps.append(tok.decode(toks, skip_special_tokens=True))
+        return hyps
+
+    rng = np.random.default_rng(hp.seed)
+    n = len(train_rows)
+    step_i = 0
+    final_loss = 0.0
+    for epoch in range(hp.epochs):
+        order = rng.permutation(n)
+        for s in range(0, n, hp.batch_size):
+            take = order[s : s + hp.batch_size].tolist()
+            while len(take) < hp.batch_size:
+                take.append(take[0])
+            batch = {k: v[take] for k, v in feats.items()}
+            logp = forward(batch, training=True)
+            labels = torch.from_numpy(batch["labels"]).long()
+            valid = labels != -100
+            nll = -logp.gather(-1, labels.clamp(min=0)[..., None])[..., 0]
+            loss = (nll * valid).sum() / valid.sum().clamp(min=1)
+            for g in opt.param_groups:
+                g["lr"] = noam_lr(step_i)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            step_i += 1
+            final_loss = float(loss)
+
+    hyps = decode_eval()
+    metrics = rouge_eval(hyps, dev_rows)
+    metrics["final_loss"] = final_loss
+    metrics["train_steps"] = step_i
+    return metrics
+
+
+# --------------------------------------------------------------------------
+# our side: the real CLI
+# --------------------------------------------------------------------------
+
+
+def run_jax(workdir: str, tok, paths, ckpt_dir: str, hp: HP) -> dict:
+    from spokennlp_tpu.cli import run_title_generation
+
+    out_dir = os.path.join(workdir, "jax_out")
+    res = run_title_generation.main([
+        "--train_file", paths["train"],
+        "--eval_file", paths["dev"],
+        "--output_dir", out_dir,
+        "--model_name_or_path", os.path.join(workdir, "tok"),
+        "--model_arch", "palm",
+        "--palm_checkpoint", ckpt_dir,
+        "--max_source_length", str(hp.max_source_length),
+        "--max_target_length", str(hp.max_target_length),
+        "--hidden_size", str(hp.hidden_size),
+        "--num_hidden_layers", str(hp.num_hidden_layers),
+        "--num_decoder_layers", str(hp.num_decoder_layers),
+        "--num_attention_heads", str(hp.num_attention_heads),
+        "--intermediate_size", str(hp.intermediate_size),
+        "--num_train_epochs", str(hp.epochs),
+        "--per_device_train_batch_size", str(hp.batch_size),
+        "--num_beams", str(hp.num_beams),
+        "--noam_factor", str(hp.noam_factor),
+        "--warmup_steps", str(hp.warmup_steps),
+        "--seed", str(hp.seed),
+    ])
+    final = res["final"]
+    # the CLI reports rouge on a 0-100 scale; artifacts use fractions
+    return {"rouge1_f": final["rouge1"] / 100.0,
+            "rougel_f": final["rougeL"] / 100.0,
+            "final_loss": final.get("train_loss"),
+            "train_steps": None}
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+
+def run_parity(workdir: str, hp: HP, gate: float = 0.2) -> dict:
+    os.makedirs(workdir, exist_ok=True)
+    tok, paths = build_assets(workdir, hp)
+    ckpt_dir, sd = make_checkpoint(workdir, hp, len(tok))
+
+    print("[parity_titlegen] torch oracle ...", flush=True)
+    t = run_torch(workdir, tok, paths, hp, sd)
+    print(f"[parity_titlegen] torch: {t}", flush=True)
+    print("[parity_titlegen] jax CLI ...", flush=True)
+    j = run_jax(workdir, tok, paths, ckpt_dir, hp)
+    print(f"[parity_titlegen] jax:   {j}", flush=True)
+
+    delta = {"rouge1_f": abs(t["rouge1_f"] - j["rouge1_f"]),
+             "rougel_f": abs(t["rougel_f"] - j["rougel_f"])}
+    result = {
+        "hp": dataclasses.asdict(hp),
+        "torch": t,
+        "jax": j,
+        "abs_delta": delta,
+        "gate": gate,
+        "pass": bool(delta["rouge1_f"] <= gate),
+    }
+    with open(os.path.join(workdir, "parity_titlegen_results.json"), "w") as f:
+        json.dump(result, f, indent=2, default=float)
+    print(json.dumps(result, indent=2, default=float))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--gate", type=float, default=0.2)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    hp = HP(seed=args.seed)
+    if args.epochs is not None:
+        hp = dataclasses.replace(hp, epochs=args.epochs)
+    res = run_parity(args.workdir, hp, gate=args.gate)
+    sys.exit(0 if res["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

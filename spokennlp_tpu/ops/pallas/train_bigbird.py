@@ -273,8 +273,10 @@ def _bigbird_train_bwd_kernel(
     dq_s,  # (L, H) dt — d(q_scaled)
     dk_s,  # (L + 2C, H) f32 — slab-accumulated
     dv_s,  # (L + 2C, H) f32
-    ctx_s,  # (L, H) dt — recomputed fwd ctx (for dWo)
-    dctxb_s,  # (L, H) dt — block-sparse-row cotangent (global rows zeroed)
+    ctx_s,  # (L, H) dt — stages the block-sparse-row cotangent (global rows
+    #          zeroed) first, then holds the recomputed fwd ctx (for dWo):
+    #          chunk i reads its cotangent rows before writing its ctx rows,
+    #          so one buffer serves both (same VMEM fold as train_sliding)
     *,
     num_heads: int,
     head_dim: int,
@@ -324,8 +326,9 @@ def _bigbird_train_bwd_kernel(
         preferred_element_type=jnp.float32,
     )  # (L, H) f32
     ri = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-    # staged through scratch: the chunk loop reads it back with pl.ds
-    dctxb_s[:] = jnp.where(ri < Gk, 0.0, dctx_full).astype(x.dtype)
+    # staged through ctx_s: each chunk reads its cotangent rows back with
+    # pl.ds before overwriting them with the recomputed ctx
+    ctx_s[:] = jnp.where(ri < Gk, 0.0, dctx_full).astype(x.dtype)
 
     if drop_thr > 0:
         # identical reseed + identical generation ORDER as forward
@@ -348,7 +351,8 @@ def _bigbird_train_bwd_kernel(
         qc = q_s[pl.ds(r0, C), :]
         kb = kp_s[pl.ds(r0, 3 * C), :]
         vb = vp_s[pl.ds(r0, 3 * C), :]
-        dctx_c = dctxb_s[pl.ds(r0, C), :]
+        dctx_c = ctx_s[pl.ds(r0, C), :]  # staged cotangent (read before the
+        #                                   chunk's ctx write below)
         rks, rvs, rbias = [], [], []
         for r in range(R):
             bidx = ridx_ref[i, r]
@@ -796,8 +800,7 @@ def make_bigbird_attention_train(
                 pltpu.VMEM((L, H), dt),  # dq
                 pltpu.VMEM((L + 2 * C, H), jnp.float32),  # dk accumulator
                 pltpu.VMEM((L + 2 * C, H), jnp.float32),  # dv accumulator
-                pltpu.VMEM((L, H), dt),  # recomputed ctx
-                pltpu.VMEM((L, H), dt),  # staged block-sparse cotangent
+                pltpu.VMEM((L, H), dt),  # staged cotangent, then ctx
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,

@@ -271,8 +271,11 @@ def _sliding_train_bwd_kernel(
     dq_s,  # (L, H) dt — d(q_scaled); dt like the dense kernel's dq parts
     dk_s,  # (L + 2C, H) f32 — band-accumulated
     dv_s,  # (L + 2C, H) f32
-    ctx_s,  # (L, H) f32 — recomputed fwd ctx (for dWo)
-    dctxb_s,  # (L, H) dt — banded-row cotangent (staged for pl.ds reads)
+    ctx_s,  # (L, H) dt — stages the banded-row cotangent first, then holds
+    #          the recomputed fwd ctx (for dWo): chunk i READS its cotangent
+    #          rows before WRITING its ctx rows, so one buffer serves both
+    #          (VMEM at the flagship L=2048 shape was 1.7M over budget with
+    #          a separate staging buffer)
     *,
     num_heads: int,
     head_dim: int,
@@ -320,8 +323,10 @@ def _sliding_train_bwd_kernel(
     ri = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
     row_is_global = ri < n_glob
     # staged through scratch: Mosaic has no dynamic_slice on values, so the
-    # chunk loop reads it back with pl.ds
-    dctxb_s[:] = jnp.where(row_is_global, 0.0, dctx_full).astype(x.dtype)
+    # chunk loop reads it back with pl.ds (ctx_s doubles as the staging
+    # buffer — each chunk reads its cotangent rows before overwriting them
+    # with the recomputed ctx)
+    ctx_s[:] = jnp.where(row_is_global, 0.0, dctx_full).astype(x.dtype)
 
     if drop_thr > 0:
         # identical reseed + identical generation ORDER as forward
@@ -344,7 +349,8 @@ def _sliding_train_bwd_kernel(
         qc = q_s[pl.ds(r0, C), :]
         kb = kp_s[pl.ds(r0, 3 * C), :]
         vb = vp_s[pl.ds(r0, 3 * C), :]
-        dctx_c = dctxb_s[pl.ds(r0, C), :]
+        dctx_c = ctx_s[pl.ds(r0, C), :]  # staged cotangent (read before the
+        #                                   chunk's ctx write below)
         ctx_parts, dq_parts = [], []
         dkb_parts, dvb_parts, dgk_parts, dgv_parts = [], [], [], []
         for h in range(nh):
@@ -798,8 +804,7 @@ def make_sliding_attention_train(
                 pltpu.VMEM((L, H), dt),  # dq
                 pltpu.VMEM((L + 2 * C, H), jnp.float32),  # dk accumulator
                 pltpu.VMEM((L + 2 * C, H), jnp.float32),  # dv accumulator
-                pltpu.VMEM((L, H), dt),  # recomputed ctx
-                pltpu.VMEM((L, H), dt),  # staged banded cotangent
+                pltpu.VMEM((L, H), dt),  # staged cotangent, then ctx
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
