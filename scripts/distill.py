@@ -47,6 +47,7 @@ LAYER_MAPS = {
     6: (1, 3, 5, 7, 9, 11),
     4: (2, 5, 8, 11),
     2: (5, 11),
+    1: (11,),
 }
 
 
@@ -330,6 +331,21 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
         m["init_f1"] = init_eval["f1"]
         students[str(depth)] = m
         print(f"[distill] student {depth}L: {m}", flush=True)
+
+    # merge with an existing jax_distill.json so a later run adding one
+    # depth (e.g. --depths 1) keeps the committed students, provided the
+    # student recipe is identical
+    prev_path = os.path.join(workdir, "jax_distill.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        same_recipe = all(
+            prev.get(k) == v for k, v in (
+                ("kd_weight", kd_weight), ("kd_temp", kd_temp),
+                ("student_lr", student_lr), ("hid_weight", hid_weight))
+        )
+        if same_recipe:
+            students = {**prev.get("students", {}), **students}
 
     out = {
         "hp": dataclasses.asdict(hp),

@@ -99,6 +99,12 @@ def aggregate(per_seed, gate: float, gate_keys, extra_gate_keys=()):
     out["gate"] = gate
     out["gate_keys"] = gk
     out["pass"] = bool(all(out["abs_delta"][k] <= gate for k in gk))
+    # harness-level boolean invariants (e.g. parity_sld's nonzero-WER
+    # operating_point_ok) must hold at EVERY seed to hold for the mean
+    for k in per_seed[0]["result"]:
+        if isinstance(per_seed[0]["result"][k], bool) and k != "pass":
+            out[k] = bool(all(r["result"].get(k) for r in per_seed))
+            out["pass"] = bool(out["pass"] and out[k])
     out["protocol"] = (
         "mean±std over seeds (reference protocol: run_finetune.sh:50 "
         "'for seed in 42 59 88'; statistics_of_result.py:5-30)"

@@ -83,6 +83,9 @@ def test_committed_cos_parity_artifact_passes_gate():
     assert result["pass"]
     assert result["hp"]["ts_score_predictor"] == "cos"
     assert result["abs_delta"]["pk"] <= 0.2
+    # advisor r3: Pk alone is a weak gate for cos mode — also bound the F1
+    # divergence (3-seed mean; committed artifact is at 0.023)
+    assert result["abs_delta"]["f1"] <= 0.1
     assert result["torch"]["pk"] < 0.35
     assert result["jax"]["pk"] < 0.35
 
