@@ -318,6 +318,16 @@ def main():
     evidence = None if (args.no_distill or args.layers) else load_distill_evidence()
     layers = args.layers or (evidence["serving_depth"] if evidence else 12)
 
+    # Equal-time corpus sizing: the timed call carries ONE ~29 ms tunnel
+    # fetch regardless of corpus size, so a corpus sized for a 12-layer
+    # model (NB=24 -> ~1.3 s/call, fetch <3%) under-reports a shallow
+    # trunk 4-12x shorter per window (1L at NB=24: 162 ms/call, fetch
+    # ~18%). Scale NB inversely with depth so every depth is measured
+    # over >= ~1.3 s of work; chip-verified vs the slope method
+    # (marginal 43.9 us/window = 22.8k w/s at 1L).
+    if args.num_batches == 24 and layers < 12:
+        NB = 24 * (12 // layers)
+
     model = make_model(layers, L, args.attention_impl, args.quantize)
     wps = bench_dense(model, B, L, NB, args.repeats)
 
@@ -330,8 +340,9 @@ def main():
     }
     if evidence and layers == evidence["serving_depth"]:
         # headline = the distilled serving trunk; 12L reported alongside
+        # (at its own equal-time corpus size)
         model12 = make_model(12, L, args.attention_impl, args.quantize)
-        wps12 = bench_dense(model12, B, L, NB, args.repeats)
+        wps12 = bench_dense(model12, B, L, min(NB, 24), args.repeats)
         depth_row = evidence["students"][str(layers)]
         out["model"] = f"distilled-{layers}L-bert-base (W8A8)"
         out["bert_base_12l_windows_per_sec"] = round(wps12, 1)
