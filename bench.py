@@ -174,8 +174,14 @@ def bench_packed(model, B, L, NB, repeats, fill_mean=0.85, fill_std=0.07):
     return n_orig / best, fill_ratio, (nb2 * B) / best
 
 
-def bench_train(layers, B, L, K, attention_impl):
-    """Composite train-step throughput (windows/s trained), slope method."""
+def bench_train(layers, B, L, K, attention_impl, trunk="dense"):
+    """Composite train-step throughput (windows/s trained), slope method.
+
+    trunk="dense" is the BERT-base recipe at L=512; trunk="longformer" is
+    the reference's flagship training recipe (run_finetune.sh:13-14:
+    longformer_base, seq 2048) — sliding-window attention, window 512,
+    roberta positions — engaging the fused sliding-window training kernel
+    (ops/pallas/train_sliding.py) on TPU."""
     import jax
     import jax.numpy as jnp
 
@@ -187,11 +193,21 @@ def bench_train(layers, B, L, K, attention_impl):
         make_topic_seg_train_step,
     )
 
-    enc = EncoderConfig(
-        vocab_size=30522, hidden_size=768, num_layers=layers, num_heads=12,
-        intermediate_size=3072, max_position_embeddings=L, add_pooler=False,
-        attention_impl=attention_impl,
-    )
+    if trunk == "longformer":
+        enc = EncoderConfig(
+            vocab_size=30522, hidden_size=768, num_layers=layers,
+            num_heads=12, intermediate_size=3072,
+            max_position_embeddings=L + 8, add_pooler=False,
+            attention_type="sliding_window", attention_window=512,
+            position_style="roberta", pad_token_id=1,
+            attention_impl=attention_impl,
+        )
+    else:
+        enc = EncoderConfig(
+            vocab_size=30522, hidden_size=768, num_layers=layers, num_heads=12,
+            intermediate_size=3072, max_position_embeddings=L, add_pooler=False,
+            attention_impl=attention_impl,
+        )
     task = TopicSegConfig(cl_anchor_level="eop_matrix", do_tssp=True, do_da_ts=True)
     model = TopicSegModel(enc, task, dtype=jnp.bfloat16)
 
@@ -277,6 +293,11 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="bench the composite train step (windows/s trained)")
     ap.add_argument("--train-batch", type=int, default=32)
+    ap.add_argument("--train-trunk", default="dense",
+                    choices=["dense", "longformer"],
+                    help="longformer = the reference flagship training "
+                    "recipe (sliding-window, seq 2048); pair with "
+                    "--seq-len 2048 --train-batch 4")
     ap.add_argument("--no-distill", action="store_true",
                     help="ignore PARITY_DISTILL.json; bench 12 layers")
     args = ap.parse_args()
@@ -288,10 +309,15 @@ def main():
     B, L, NB = args.batch_size, args.seq_len, args.num_batches
 
     if args.train:
+        K = 128 if args.train_trunk == "longformer" else 64
         wps, per = bench_train(
-            args.layers or 12, args.train_batch, L, 64, args.attention_impl)
+            args.layers or 12, args.train_batch, L, K, args.attention_impl,
+            trunk=args.train_trunk)
+        name = ("topic_seg_composite_train_windows_per_sec_per_chip"
+                if args.train_trunk == "dense" else
+                f"longformer_{L}_composite_train_windows_per_sec_per_chip")
         print(json.dumps({
-            "metric": "topic_seg_composite_train_windows_per_sec_per_chip",
+            "metric": name,
             "value": round(wps, 1),
             "unit": "windows/s",
             "vs_baseline": None,
