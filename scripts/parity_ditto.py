@@ -168,6 +168,57 @@ def run_parity(workdir: str, hp: HP, gate: float = 0.02):
     return result
 
 
+# Ditto's published recipe is a per-model (layer, head) table
+# (reference: ditto/run_eval_ditto.sh:17-37 — bert(0,9), roberta(0,4),
+# electra(0,10), sbert(2,6)). The harness trunk is 2 layers x 4 heads, so
+# the table here spans both layers and distinct heads the same way.
+RECIPE_TABLE = [(0, 1), (0, 3), (1, 2)]
+
+
+def run_parity_table(workdir: str, gate: float = 0.02,
+                     table=RECIPE_TABLE, n_pairs: int = 200, seed: int = 42):
+    """Multi-config parity: one artifact spanning the (layer, head) recipe
+    axis. Ditto is a learning-free, inference-only evaluation (reference:
+    ditto/evaluation_ditto.py — no training loop exists), so there is no
+    training-seed axis to sample; the proof is exact per config instead of
+    mean±std over seeds. Top-level torch/jax/abs_delta report the
+    worst-delta config so gate checks stay single-valued."""
+    base_hp = HP(n_pairs=n_pairs, seed=seed)
+    assets = build_assets(workdir, base_hp)
+    configs = []
+    for layer, head in table:
+        hp = HP(layer=layer, head=head, n_pairs=n_pairs, seed=seed)
+        torch_m = run_torch(assets, hp)
+        jax_m = run_jax(assets, hp)
+        delta = abs(torch_m["spearman"] - jax_m["spearman"])
+        configs.append({
+            "hp": dataclasses.asdict(hp),
+            "torch": torch_m,
+            "jax": jax_m,
+            "abs_delta": {"spearman": delta},
+            "pass": bool(delta <= gate),
+        })
+    worst = max(configs, key=lambda c: c["abs_delta"]["spearman"])
+    result = {
+        "protocol": (
+            "inference-only (learning-free) evaluation — no training, hence "
+            "no seed axis; exact proof per (layer, head) config over the "
+            "recipe table (reference: ditto/run_eval_ditto.sh:17-37), gate "
+            "applied to the worst config"
+        ),
+        "hp": worst["hp"],
+        "torch": worst["torch"],
+        "jax": worst["jax"],
+        "abs_delta": worst["abs_delta"],
+        "configs": configs,
+        "gate": gate,
+        "pass": bool(all(c["pass"] for c in configs)),
+    }
+    with open(os.path.join(workdir, "parity_ditto_results.json"), "w") as f:
+        json.dump(result, f, indent=2, default=float)
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
@@ -178,7 +229,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    result = run_parity(args.workdir, HP(), gate=args.gate)
+    result = run_parity_table(args.workdir, gate=args.gate)
     print(json.dumps(result, indent=2, default=float))
     if not result["pass"]:
         sys.exit(1)
