@@ -113,6 +113,22 @@ def bert_to_encoder_params(
     return params
 
 
+def bert_pretraining_to_params(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict:
+    """Map an HF ``BertForPreTraining`` state dict onto objectives/mlm.py's
+    ``BertForPreTraining`` param tree (trunk + MLM transform/LN/tied-decoder
+    bias + NSP head). The MLM decoder weight is tied to the word embeddings
+    on both sides, so only its bias transfers. Reference counterpart: the
+    vendored TF pretraining heads (action-item-detection/script/
+    run_pretraining.py get_masked_lm_output/get_next_sentence_output).
+    """
+    params: Dict = {"encoder": bert_to_encoder_params(sd, cfg, prefix="bert.")}
+    params["mlm_transform"] = _linear(sd, "cls.predictions.transform.dense")
+    params["mlm_ln"] = _layernorm(sd, "cls.predictions.transform.LayerNorm")
+    params["mlm_output_bias"] = sd["cls.predictions.bias"]
+    params["nsp_classifier"] = _linear(sd, "cls.seq_relationship")
+    return params
+
+
 def electra_to_encoder_params(
     sd: Dict[str, np.ndarray], cfg: EncoderConfig, prefix: str = ""
 ) -> Dict:

@@ -174,3 +174,82 @@ def test_pretrain_cli_and_reload(tmp_path):
     assert out is not None
     cfg2, trunk = out
     assert "encoder" not in trunk  # bare trunk -> task CLIs graft it
+
+
+def test_pretraining_heads_match_hf_torch():
+    """Exact numeric parity of the MLM+NSP heads vs transformers'
+    BertForPreTraining at converted weights: same inputs, same gathered
+    positions -> prediction/seq-relationship logits and the composite loss
+    must agree (the trunk itself is covered by tests/test_hf_parity.py;
+    this pins the transform/LN/tied-decoder/NSP mapping in
+    hf_convert.bert_pretraining_to_params)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from spokennlp_tpu.models import hf_convert
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    hf = transformers.BertForPreTraining(hf_cfg).eval()
+    sd = hf_convert.torch_state_dict_to_numpy(hf.state_dict())
+    cfg = EncoderConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, max_position_embeddings=64, add_pooler=True,
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    params = hf_convert.bert_pretraining_to_params(sd, cfg)
+
+    rng = np.random.default_rng(7)
+    B, L, P = 3, 24, 5
+    input_ids = rng.integers(5, 128, size=(B, L))
+    token_type_ids = np.zeros((B, L), np.int32)
+    attention_mask = np.ones((B, L), np.int32)
+    attention_mask[1, 18:] = 0
+    mlm_positions = np.stack([np.sort(rng.choice(np.arange(1, 17), P, replace=False))
+                              for _ in range(B)])
+    mlm_labels = rng.integers(5, 128, size=(B, P))
+    mlm_weights = np.ones((B, P), np.float32)
+    mlm_weights[:, -1] = 0.0  # a padded prediction slot
+    nsp_labels = rng.integers(0, 2, size=(B,))
+
+    with torch.no_grad():
+        out_t = hf(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.tensor(attention_mask),
+            token_type_ids=torch.tensor(token_type_ids),
+        )
+    # gather the same positions from the full-vocab prediction logits
+    pred_t = out_t.prediction_logits.numpy()  # (B, L, V)
+    mlm_t = np.take_along_axis(pred_t, mlm_positions[..., None], axis=1)
+    nsp_t = out_t.seq_relationship_logits.numpy()
+
+    model = BertForPreTraining(cfg)
+    out_j = model.apply(
+        {"params": params}, jnp.asarray(input_ids),
+        jnp.asarray(attention_mask), jnp.asarray(token_type_ids),
+        jnp.asarray(mlm_positions),
+    )
+    np.testing.assert_allclose(np.asarray(out_j["mlm_logits"]), mlm_t,
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_j["nsp_logits"]), nsp_t,
+                               atol=5e-4, rtol=1e-3)
+
+    batch = {
+        "mlm_labels": jnp.asarray(mlm_labels),
+        "mlm_weights": jnp.asarray(mlm_weights),
+        "nsp_labels": jnp.asarray(nsp_labels),
+    }
+    loss_j, aux = pretraining_loss(out_j, batch)
+    # same composite on the torch logits (run_pretraining.py:148 semantics)
+    lp = torch.log_softmax(torch.tensor(mlm_t), -1).numpy()
+    lm = -np.take_along_axis(lp, mlm_labels[..., None], -1)[..., 0]
+    mlm_ref = (lm * mlm_weights).sum() / mlm_weights.sum()
+    nlp = torch.log_softmax(torch.tensor(nsp_t), -1).numpy()
+    nsp_ref = -np.take_along_axis(nlp, nsp_labels[:, None], -1).mean()
+    np.testing.assert_allclose(float(loss_j), mlm_ref + nsp_ref, atol=1e-4)
+    np.testing.assert_allclose(float(aux["mlm_loss"]), mlm_ref, atol=1e-4)
