@@ -76,6 +76,44 @@ def test_encoder_matches_hf_bert(small_bert):
     np.testing.assert_allclose(np.asarray(j_out.pooled_output), torch_pooled, atol=2e-5, rtol=1e-4)
 
 
+def test_encoder_per_layer_hidden_states_match_hf(small_bert):
+    """Every intermediate layer matches torch's output_hidden_states, not
+    just the final one — the contract run_extract_features dumps (reference:
+    action-item-detection/script/extract_features.py get_all_encoder_layers
+    semantics: hidden_states[0] is the embedding output, layers follow)."""
+    hf_cfg, torch_model = small_bert
+    cfg = hf_convert.hf_bert_config_to_encoder_config(hf_cfg)
+    sd = hf_convert.torch_state_dict_to_numpy(torch_model.state_dict())
+    params = hf_convert.bert_to_encoder_params(sd, cfg)
+
+    rng = np.random.default_rng(1)
+    B, L = 2, 17
+    input_ids = rng.integers(0, hf_cfg.vocab_size, size=(B, L))
+    attention_mask = np.ones((B, L), dtype=np.int64)
+    attention_mask[1, 13:] = 0
+
+    with torch.no_grad():
+        t_out = torch_model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.tensor(attention_mask),
+            output_hidden_states=True,
+        )
+
+    enc = Encoder(cfg)
+    j_out = enc.apply(
+        {"params": params},
+        jnp.asarray(input_ids, jnp.int32),
+        attention_mask=jnp.asarray(attention_mask, jnp.int32),
+        deterministic=True,
+        output_hidden_states=True,
+    )
+    assert len(j_out.hidden_states) == hf_cfg.num_hidden_layers + 1
+    for i, (j_h, t_h) in enumerate(zip(j_out.hidden_states, t_out.hidden_states)):
+        np.testing.assert_allclose(
+            np.asarray(j_h), t_h.numpy(), atol=2e-5, rtol=1e-4,
+            err_msg=f"hidden_states[{i}]")
+
+
 def test_encoder_jits_and_is_deterministic(small_bert):
     hf_cfg, torch_model = small_bert
     cfg = hf_convert.hf_bert_config_to_encoder_config(hf_cfg)
