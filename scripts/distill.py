@@ -54,7 +54,10 @@ LAYER_MAPS = {
 def build_assets(workdir: str, hp):
     return parity_e2e.build_assets(
         workdir, seed=0, layers=TEACHER_LAYERS, trunk="bert",
+        hidden=hp.hidden, heads=hp.heads, intermediate=hp.intermediate,
         max_seq_length=hp.max_seq_length,
+        corpus_profile=hp.corpus_profile,
+        corpus_docs=(hp.n_train_docs, hp.n_dev_docs, hp.n_test_docs),
     )
 
 
@@ -505,6 +508,20 @@ def main():
     ap.add_argument("--stage", required=True,
                     choices=["torch12", "jax", "emit", "emit_multi"])
     ap.add_argument("--epochs", type=float, default=None)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="teacher learning rate (HP default 2e-3 is tuned "
+                    "for the tiny trunk; full width wants ~2e-4)")
+    ap.add_argument("--hidden", type=int, default=None)
+    ap.add_argument("--heads", type=int, default=None)
+    ap.add_argument("--intermediate", type=int, default=None)
+    ap.add_argument("--max_seq_length", type=int, default=None)
+    ap.add_argument("--profile", default=None, choices=list(parity_e2e.PROFILES),
+                    help="corpus shape profile (HP default longseg)")
+    ap.add_argument("--full", action="store_true",
+                    help="shortcut: hidden=768 heads=12 intermediate=3072 "
+                    "max_seq_length=512 profile=fullscale — the width/length "
+                    "the throughput bench measures at (round-4 verdict "
+                    "missing #1)")
     ap.add_argument("--kd_weight", type=float, default=1.0)
     ap.add_argument("--kd_temp", type=float, default=2.0)
     ap.add_argument("--student_lr", type=float, default=5e-4)
@@ -522,8 +539,19 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
 
     hp = parity_e2e.HP()
-    if args.epochs is not None:
-        hp = dataclasses.replace(hp, epochs=args.epochs)
+    if args.full:
+        hp = dataclasses.replace(hp, hidden=768, heads=12, intermediate=3072,
+                                 max_seq_length=512,
+                                 corpus_profile="fullscale",
+                                 n_train_docs=96, n_dev_docs=24,
+                                 n_test_docs=24)
+    for field, val in (("epochs", args.epochs), ("learning_rate", args.lr),
+                       ("hidden", args.hidden), ("heads", args.heads),
+                       ("intermediate", args.intermediate),
+                       ("max_seq_length", args.max_seq_length),
+                       ("corpus_profile", args.profile)):
+        if val is not None:
+            hp = dataclasses.replace(hp, **{field: val})
     hp = dataclasses.replace(hp, seed=args.seed)
 
     if args.stage == "torch12":
