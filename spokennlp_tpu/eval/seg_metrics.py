@@ -50,17 +50,16 @@ def boundary_prf(
     """
     tp = fp = fn = correct = total = 0
     for pred, ref in zip(predictions, references):
-        assert len(pred) == len(ref), "prediction/reference length mismatch"
-        for p, r in zip(pred, ref):
-            total += 1
-            if p == r:
-                correct += 1
-            if p == positive_label and r == positive_label:
-                tp += 1
-            elif p == positive_label:
-                fp += 1
-            elif r == positive_label:
-                fn += 1
+        p = np.asarray(pred)
+        r = np.asarray(ref)
+        assert p.shape == r.shape, "prediction/reference length mismatch"
+        total += p.size
+        correct += int(np.count_nonzero(p == r))
+        pp = p == positive_label
+        rr = r == positive_label
+        tp += int(np.count_nonzero(pp & rr))
+        fp += int(np.count_nonzero(pp & ~rr))
+        fn += int(np.count_nonzero(~pp & rr))
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
@@ -101,15 +100,14 @@ def mass_from_boundary_labels(labels: Sequence[int]) -> List[int]:
     ``labels[i] == 1`` means sentence i ENDS its segment.
     [1, 1, 0, 0, 1, 1] -> [1, 1, 3, 1]; a trailing open segment is closed.
     """
-    mass: List[int] = []
-    cur = 0
-    for v in labels:
-        cur += 1
-        if v == 1:
-            mass.append(cur)
-            cur = 0
-    if cur > 0:
-        mass.append(cur)
+    arr = np.asarray(labels)
+    n = arr.shape[0]
+    ends = np.flatnonzero(arr == 1)
+    closed = np.diff(ends + 1, prepend=0)
+    mass = closed.tolist()
+    tail = n - (int(ends[-1]) + 1 if len(ends) else 0)
+    if tail > 0:
+        mass.append(tail)
     return mass
 
 
@@ -120,10 +118,8 @@ def _boundary_string(mass: Sequence[int]) -> np.ndarray:
     """
     n = int(sum(mass))
     b = np.zeros(max(n - 1, 0), dtype=np.int32)
-    acc = 0
-    for m in mass[:-1]:
-        acc += m
-        b[acc - 1] = 1
+    if len(mass) > 1:
+        b[np.cumsum(np.asarray(mass[:-1], dtype=np.int64)) - 1] = 1
     return b
 
 
@@ -148,13 +144,10 @@ def pk_metric(
         return 0.0
     ref_seg = _unit_segment_ids(reference_mass)
     hyp_seg = _unit_segment_ids(hypothesis_mass)
-    errors = 0
-    count = 0
-    for i in range(n - k):
-        same_ref = ref_seg[i] == ref_seg[i + k]
-        same_hyp = hyp_seg[i] == hyp_seg[i + k]
-        errors += int(same_ref != same_hyp)
-        count += 1
+    same_ref = ref_seg[: n - k] == ref_seg[k:n]
+    same_hyp = hyp_seg[: n - k] == hyp_seg[k:n]
+    count = n - k
+    errors = int(np.count_nonzero(same_ref != same_hyp))
     return errors / count if count else 0.0
 
 
@@ -174,23 +167,17 @@ def windowdiff_metric(
     hyp_b = _boundary_string(hypothesis_mass)
     ref_cum = np.concatenate([[0], np.cumsum(ref_b)])
     hyp_cum = np.concatenate([[0], np.cumsum(hyp_b)])
-    errors = 0
-    count = 0
-    for i in range(n - k):
-        rb = ref_cum[i + k] - ref_cum[i]
-        hb = hyp_cum[i + k] - hyp_cum[i]
-        errors += int(rb != hb)
-        count += 1
+    rb = ref_cum[k : n] - ref_cum[: n - k]
+    hb = hyp_cum[k : n] - hyp_cum[: n - k]
+    count = n - k
+    errors = int(np.count_nonzero(rb != hb))
     return errors / count if count else 0.0
 
 
 def _unit_segment_ids(mass: Sequence[int]) -> np.ndarray:
-    ids = np.zeros(int(sum(mass)), dtype=np.int32)
-    acc = 0
-    for si, m in enumerate(mass):
-        ids[acc : acc + m] = si
-        acc += m
-    return ids
+    return np.repeat(
+        np.arange(len(mass), dtype=np.int32), np.asarray(mass, np.int64)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -224,8 +211,14 @@ def compute_window_metric(
     total_pk = round(float(np.mean(one_minus_pk)), 4) if one_minus_pk else 0.0
     total_wd = round(float(np.mean(one_minus_wd)), 4) if one_minus_wd else 0.0
 
-    flat_pred = [v for p in predictions for v in p]
-    flat_ref = [v for r in references for v in r]
+    flat_pred = (
+        np.concatenate([np.asarray(p) for p in predictions])
+        if predictions else np.zeros(0, np.int64)
+    )
+    flat_ref = (
+        np.concatenate([np.asarray(r) for r in references])
+        if references else np.zeros(0, np.int64)
+    )
     prf = binary_prf(flat_pred, flat_ref)
     n = len(predictions)
     return {
@@ -236,8 +229,8 @@ def compute_window_metric(
         prefix + "f1": round(prf["f1"], 4),
         prefix + "pk": round(1 - total_pk, 4),
         prefix + "wd": round(1 - total_wd, 4),
-        prefix + "avg_pred_cnt": round(sum(flat_pred) / n, 2) if n else 0.0,
-        prefix + "avg_true_cnt": round(sum(flat_ref) / n, 2) if n else 0.0,
+        prefix + "avg_pred_cnt": round(float(np.sum(flat_pred)) / n, 2) if n else 0.0,
+        prefix + "avg_true_cnt": round(float(np.sum(flat_ref)) / n, 2) if n else 0.0,
     }
 
 
@@ -275,11 +268,11 @@ def compute_example_level_metric(
     """
     results: Dict[str, float] = {}
     if ts_score_predictor == "lt":
-        argmax_preds = [np.argmax(np.asarray(lg), axis=-1).tolist() for lg in predictions_logits]
+        argmax_preds = [np.argmax(np.asarray(lg), axis=-1) for lg in predictions_logits]
         seg_scores = [softmax(np.asarray(lg), axis=-1)[:, LABEL_EOP] for lg in predictions_logits]
     else:
         argmax_preds = [
-            [LABEL_O if v > 0.5 else LABEL_EOP for v in np.asarray(lg)]
+            np.where(np.asarray(lg) > 0.5, LABEL_O, LABEL_EOP)
             for lg in predictions_logits
         ]
         seg_scores = [1.0 - np.asarray(lg, dtype=np.float64) for lg in predictions_logits]
@@ -295,11 +288,13 @@ def compute_example_level_metric(
     )
 
     # binary space: 1 = boundary
-    ref_binary = [[int(l == LABEL_EOP) for l in ref] for ref in labels]
+    ref_binary = [
+        (np.asarray(ref) == LABEL_EOP).astype(np.int64) for ref in labels
+    ]
 
     if threshold is not None:
         pred_binary = [
-            [int(s >= threshold) for s in scores] for scores in seg_scores
+            (scores >= threshold).astype(np.int64) for scores in seg_scores
         ]
         results.update(
             compute_window_metric(
@@ -339,7 +334,7 @@ def compute_example_level_metric(
         assert threshold is not None
         soft_preds = []
         for scores, ref in zip(seg_scores, ref_binary):
-            pred = [int(s >= threshold) for s in scores]
+            pred = (scores >= threshold).astype(np.int64).tolist()
             for i, p in enumerate(pred):
                 if p == 0 or (p == 1 and ref[i] == 1):
                     continue
