@@ -59,7 +59,11 @@ class HP:
     num_layers: int = 2
     intermediate: int = 96
     max_seq_length: int = 48
-    epochs: int = 10
+    # 20 (round 5, was 10): torch seed 59 was still descending at epoch 10
+    # (final_loss 0.699 vs 0.056/0.066 on the other seeds) — the oracle,
+    # not the framework, was the noise source (verdict weak #3); both
+    # frameworks train the same budget
+    epochs: int = 20
     learning_rate: float = 5e-4
     batch_size: int = 8
     seed: int = 0

@@ -105,9 +105,34 @@ def aggregate(per_seed, gate: float, gate_keys, extra_gate_keys=()):
         if isinstance(per_seed[0]["result"][k], bool) and k != "pass":
             out[k] = bool(all(r["result"].get(k) for r in per_seed))
             out["pass"] = bool(out["pass"] and out[k])
+    # Tightened gate (round-5, verdict weak #3): 0.2 is generous against
+    # observed cross-seed sigma — the fleet must also hold
+    # min(gate, max(2*sigma_torch, 0.05)) per gate key, so a pass means
+    # "matching within the oracle's own seed noise", not just "not broken".
+    tight = {}
+    for k in gk:
+        sigma = out["torch_std"].get(k)
+        tight[k] = (min(gate, max(2.0 * sigma, 0.05))
+                    if sigma is not None else gate)
+    out["gate_tightened"] = tight
+    out["pass_tightened"] = bool(
+        all(out["abs_delta"][k] <= tight[k] for k in gk))
+    # convergence sanity: per-seed trajectories must have converged on BOTH
+    # sides (final_loss sigma < 0.1) for the mean comparison to mean much
+    sanity = {}
+    for side in ("torch", "jax"):
+        s = out[side + "_std"].get("final_loss")
+        if s is not None:
+            sanity[side + "_final_loss_std"] = s
+    if sanity:
+        out["convergence_sanity"] = sanity
+        out["convergence_sanity_ok"] = bool(
+            all(v < 0.1 for v in sanity.values()))
     out["protocol"] = (
         "mean±std over seeds (reference protocol: run_finetune.sh:50 "
-        "'for seed in 42 59 88'; statistics_of_result.py:5-30)"
+        "'for seed in 42 59 88'; statistics_of_result.py:5-30); "
+        "pass_tightened additionally gates each key at "
+        "min(gate, max(2*sigma_torch, 0.05))"
     )
     return out
 

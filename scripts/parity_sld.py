@@ -104,6 +104,12 @@ class HP:
     hidden: int = 64
     layers: int = 2
     heads: int = 4
+    # round-5 stabilization (verdict weak #3): torch seed 88 diverged (WER
+    # 0.487 best-of-150-epochs, sigma 0.145 across seeds) under unclipped
+    # AdamW at the scaled-up 2e-3 LR; clip applied SYMMETRICALLY to both
+    # frameworks. The reference run_clm.py loop doesn't clip — documented
+    # protocol deviation.
+    clip_grad_norm: float = 1.0
 
 
 def build_assets(workdir: str, seed: int = 0, n_train=240, n_eval=48):
@@ -253,6 +259,7 @@ def run_torch(assets, hp: HP):
 
     shuffle = np.random.default_rng(hp.seed + 5)
     best = {"wer": float("inf")}
+    last_loss = None
     for _epoch in range(hp.epochs):
         model.train()
         order = shuffle.permutation(len(train_ex))
@@ -266,12 +273,17 @@ def run_torch(assets, hp: HP):
             loss = all_loss(batch)
             opt.zero_grad()
             loss.backward()
+            if hp.clip_grad_norm > 0:
+                torch.nn.utils.clip_grad_norm_(
+                    model.parameters(), hp.clip_grad_norm)
             opt.step()
             sched.step()
+            last_loss = float(loss.detach())
         m = decode_eval()
         if m["wer"] < best["wer"]:
             best = dict(m)
     best["epochs"] = hp.epochs
+    best["final_loss"] = last_loss
     return best
 
 
@@ -300,13 +312,18 @@ def run_jax(assets, hp: HP):
         "--kl_temperature", str(hp.kl_temperature),
         "--time_masking", str(hp.time_masking),
         "--num_beams", str(hp.num_beams),
+        "--clip_grad_norm", str(hp.clip_grad_norm),
         "--seed", str(hp.seed),
         "--hidden_size", str(hp.hidden),
         "--num_hidden_layers", str(hp.layers),
         "--num_attention_heads", str(hp.heads),
     ])
     best = min(res["history"], key=lambda r: r["wer"])
-    return {"wer": best["wer"], "cer": best["cer"], "epochs": len(res["history"])}
+    return {"wer": best["wer"], "cer": best["cer"],
+            "epochs": len(res["history"]),
+            # end-of-training loss: convergence-sanity input for the
+            # multiseed aggregator (final_loss sigma < 0.1 across seeds)
+            "final_loss": res["history"][-1].get("train_loss")}
 
 
 def run_parity(workdir: str, hp: HP, gate: float = 0.2, n_train=240, n_eval=48):

@@ -70,6 +70,11 @@ class HP:
     num_beams: int = 2
     dropout: float = 0.1
     seed: int = 42
+    # round-5 stabilization (verdict weak #3): seed 88's jax trajectory
+    # collapsed (final_loss 1.30 vs 0.61/0.65) under unclipped adam+noam;
+    # clip applied SYMMETRICALLY to both frameworks. The reference recipe
+    # itself doesn't clip — documented protocol deviation.
+    clip_grad_norm: float = 1.0
 
 
 # --------------------------------------------------------------------------
@@ -456,6 +461,8 @@ def run_torch(workdir: str, tok, paths, hp: HP, sd: dict) -> dict:
                 g["lr"] = noam_lr(step_i)
             opt.zero_grad()
             loss.backward()
+            if hp.clip_grad_norm > 0:
+                torch.nn.utils.clip_grad_norm_(params, hp.clip_grad_norm)
             opt.step()
             step_i += 1
             final_loss = float(loss)
@@ -495,6 +502,7 @@ def run_jax(workdir: str, tok, paths, ckpt_dir: str, hp: HP) -> dict:
         "--num_beams", str(hp.num_beams),
         "--noam_factor", str(hp.noam_factor),
         "--warmup_steps", str(hp.warmup_steps),
+        "--clip_grad_norm", str(hp.clip_grad_norm),
         "--seed", str(hp.seed),
     ])
     final = res["final"]

@@ -63,6 +63,9 @@ def main(argv=None):
     p.add_argument("--time_masking", type=float, default=0.3)
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--decode_max_len", type=int, default=None)
+    p.add_argument("--clip_grad_norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off, matching "
+                   "the reference run_clm.py loop)")
     p.add_argument("--seed", type=int, default=42)
     # tiny-model knobs for smoke runs without a checkpoint
     p.add_argument("--hidden_size", type=int, default=768)
@@ -169,8 +172,11 @@ def main(argv=None):
     else:
         lr = args.learning_rate
 
+    tx = optax.adamw(lr)
+    if args.clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(args.clip_grad_norm), tx)
     trainer = SLDTrainer(
-        model, cfg, optax.adamw(lr),
+        model, cfg, tx,
         train_ex, eval_ex, eval_texts, detok,
         batch_size=args.per_device_train_batch_size,
         num_epochs=args.num_train_epochs,

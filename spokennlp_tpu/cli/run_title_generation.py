@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--num_beams", type=int, default=4)
     p.add_argument("--noam_factor", type=float, default=1.0)
     p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--clip_grad_norm", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off, the "
+                   "reference PALM recipe's default)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--num_hidden_layers", type=int, default=4)
@@ -220,6 +223,8 @@ def main(argv=None):
     tx = optax.adam(
         noam_schedule(args.hidden_size, args.noam_factor, args.warmup_steps)
     )
+    if args.clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(args.clip_grad_norm), tx)
     state = create_train_state(params, tx)
 
     @jax.jit
