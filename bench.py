@@ -376,8 +376,32 @@ def main():
             "artifact": "PARITY_DISTILL.json",
             "abs_delta_pk_vs_torch_12l_reference":
                 depth_row["abs_delta_vs_torch12"]["pk"],
+            "abs_delta_wd_vs_torch_12l_reference":
+                depth_row["abs_delta_vs_torch12"]["wd"],
             "gate": evidence["gate"],
         }
+        # full-scale evidence (round-5): quality measured AT the benched
+        # shape (hidden=768, seq=512, W8A8 serving path) instead of only
+        # the h=64 harness — see scripts/distill.py stage emit_full
+        full_path = os.path.join(REPO, "PARITY_DISTILL_FULL.json")
+        if os.path.exists(full_path):
+            try:
+                with open(full_path) as f:
+                    full = json.load(f)
+                row = full["students_mean_std"].get(str(layers))
+                if full.get("pass") and row:
+                    out["quality_evidence_full_scale"] = {
+                        "artifact": "PARITY_DISTILL_FULL.json",
+                        "composed_delta_pk_mean":
+                            row["composed_delta_vs_torch12_mean_std"]["pk"][0],
+                        "composed_delta_wd_mean":
+                            row["composed_delta_vs_torch12_mean_std"]["wd"][0],
+                        "serving_path_within_gate":
+                            row.get("serving_within_gate"),
+                        "gate": full["gate"],
+                    }
+            except Exception:
+                pass
     print(json.dumps(out))
 
 
