@@ -496,7 +496,9 @@ def stage_emit_multi(workdirs: list, gate: float, out_path: str) -> dict:
             "seed in {42, 59, 88}, a torch 12-layer reference oracle vs our "
             "12-layer teacher and distilled students (CE + logit KL + "
             "intermediate hidden-state MSE; scripts/distill.py, harness "
-            "scale h=64 L=128); gate on the mean |dPk|/|dWD|"
+            "scale h=64 L=128, longseg corpus profile so segeval k >= 2 "
+            "and WD is a real second gate); gate on the mean |dPk|/|dWD|; "
+            "full-scale (h=768 L=512) evidence in PARITY_DISTILL_FULL.json"
         ),
         "gate": gate,
         "seeds": [s["seed"] for s in per_seed],
