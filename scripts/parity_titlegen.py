@@ -447,6 +447,7 @@ def run_torch(workdir: str, tok, paths, hp: HP, sd: dict) -> dict:
     final_loss = 0.0
     for epoch in range(hp.epochs):
         order = rng.permutation(n)
+        epoch_losses = []
         for s in range(0, n, hp.batch_size):
             take = order[s : s + hp.batch_size].tolist()
             while len(take) < hp.batch_size:
@@ -465,7 +466,11 @@ def run_torch(workdir: str, tok, paths, hp: HP, sd: dict) -> dict:
                 torch.nn.utils.clip_grad_norm_(params, hp.clip_grad_norm)
             opt.step()
             step_i += 1
-            final_loss = float(loss)
+            epoch_losses.append(float(loss))
+        # epoch-mean, matching the jax CLI's train_loss reporting — the
+        # convergence-sanity comparison must not mix a last-batch sample
+        # with an epoch mean
+        final_loss = float(np.mean(epoch_losses))
 
     hyps = decode_eval()
     metrics = rouge_eval(hyps, dev_rows)
