@@ -263,6 +263,7 @@ def run_torch(assets, hp: HP):
     for _epoch in range(hp.epochs):
         model.train()
         order = shuffle.permutation(len(train_ex))
+        epoch_losses = []
         for s in range(0, len(order), hp.batch_size):
             take = order[s : s + hp.batch_size]
             batch = {
@@ -278,7 +279,10 @@ def run_torch(assets, hp: HP):
                     model.parameters(), hp.clip_grad_norm)
             opt.step()
             sched.step()
-            last_loss = float(loss.detach())
+            epoch_losses.append(float(loss.detach()))
+        # epoch-mean, matching the jax trainer's train_loss reporting (the
+        # convergence-sanity sigma must compare like with like)
+        last_loss = float(np.mean(epoch_losses))
         m = decode_eval()
         if m["wer"] < best["wer"]:
             best = dict(m)
