@@ -296,16 +296,15 @@ def run_topic_seg_inference(
     Returns:
       {"metrics": {...}, "per_doc": [{"labels", "scores"}]}.
     """
+    from spokennlp_tpu.data.windowing_fast import window_documents_stacked
     from spokennlp_tpu.eval import seg_metrics
 
-    windows = []
-    for eid, doc in enumerate(docs):
-        windows.extend(
-            W.window_document(
-                doc["sent_token_ids"], doc["labels"], windowing_cfg, example_id=eid
-            )
-        )
-    batch = W.stack_windows(windows)
+    # vectorized batch featurizer: bit-identical to the per-sentence
+    # window_document walk (tests/test_windowing_fast.py), ~6x faster on
+    # one host core
+    batch = window_documents_stacked(docs, windowing_cfg)
+    if batch["input_ids"].shape[0] == 0:
+        raise ValueError("no windows to stack")
 
     if ts_score_predictor == "cos":
         predict_fn = functools.partial(
