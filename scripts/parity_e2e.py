@@ -266,6 +266,9 @@ class HP:
     focal_loss_gamma: float = 0.0
     weight_decay: float = 0.01
     dropout: float = 0.1
+    # linear warmup fraction (0 = the harness default; the full-scale
+    # h=768 teacher needs it — see distill.py full-scale recipe notes)
+    warmup_ratio: float = 0.0
     trunk: str = "bert"  # bert | longformer (flagship) | bigbird | electra
     # trunk width (build_assets): harness default is tiny; the full-scale
     # distill harness (round-5) runs hidden=768/heads=12/intermediate=3072
@@ -658,9 +661,15 @@ def run_torch(assets, hp: HP):
     )
     steps_per_epoch = max(n_windows // hp.batch_size, 1)
     total_steps = max(int(steps_per_epoch * hp.epochs), 1)
-    sched = torch.optim.lr_scheduler.LambdaLR(
-        opt, lambda s: max(0.0, 1.0 - s / total_steps)
-    )
+    warmup_steps = int(hp.warmup_ratio * total_steps)
+
+    def lr_lambda(s):
+        if warmup_steps > 0 and s < warmup_steps:
+            return s / warmup_steps
+        return max(0.0, 1.0 - (s - warmup_steps)
+                   / max(total_steps - warmup_steps, 1))
+
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda)
 
     step = 0
     oracle.train()
@@ -713,6 +722,7 @@ def run_jax(assets, hp: HP):
         "--per_device_train_batch_size", str(per_device),
         "--gradient_accumulation_steps", "1",
         "--weight_decay", str(hp.weight_decay),
+        "--warmup_ratio", str(hp.warmup_ratio),
         "--seed", str(hp.seed),
         "--ts_loss_weight", str(hp.ts_loss_weight),
         "--tssp_loss_weight", str(hp.tssp_loss_weight),
