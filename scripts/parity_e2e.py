@@ -269,6 +269,9 @@ class HP:
     # linear warmup fraction (0 = the harness default; the full-scale
     # h=768 teacher needs it — see distill.py full-scale recipe notes)
     warmup_ratio: float = 0.0
+    # CLI attention_impl ("auto" routes TPU training through the fused
+    # custom-VJP kernels; "einsum" forces the exact XLA path)
+    attention_impl: str = "auto"
     trunk: str = "bert"  # bert | longformer (flagship) | bigbird | electra
     # trunk width (build_assets): harness default is tiny; the full-scale
     # distill harness (round-5) runs hidden=768/heads=12/intermediate=3072
@@ -723,6 +726,7 @@ def run_jax(assets, hp: HP):
         "--gradient_accumulation_steps", "1",
         "--weight_decay", str(hp.weight_decay),
         "--warmup_ratio", str(hp.warmup_ratio),
+        "--attention_impl", hp.attention_impl,
         "--seed", str(hp.seed),
         "--ts_loss_weight", str(hp.ts_loss_weight),
         "--tssp_loss_weight", str(hp.tssp_loss_weight),
