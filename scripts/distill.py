@@ -292,9 +292,55 @@ def _serving_eval(enc_cfg, task_cfg, depth, params, eval_docs, wcfg):
     return _evaluate_jax(model, params, eval_docs, wcfg)
 
 
+def _pretrain_trunk(workdir: str, assets, hp, pretrain_epochs: float,
+                    pretrain_lr: float) -> str:
+    """MLM+NSP pretrain the trunk on the harness corpus, then let the
+    teacher FINETUNE from it — the reference's actual regime (its quality
+    numbers all start from pretrained checkpoints; run_finetune.sh:14 uses
+    lr 5e-5 on longformer_base). Measured necessity at full width: a
+    from-scratch h=768/12L trunk stays at the all-O collapse through 300
+    epochs across lr {5e-4, 2e-3} x w0 {0.5, 0.7} x warmup {0, 0.1} x
+    attention_impl {fused, einsum}, while h<=256 learns — see
+    ROUND1_NOTES.md round-5 notes."""
+    import json as _json
+
+    from spokennlp_tpu.cli import run_pretrain_mlm
+
+    pre_dir = os.path.join(workdir, "pretrain")
+    model_dir = os.path.join(pre_dir, "pretrained_model")
+    if os.path.isdir(model_dir):
+        return model_dir
+    # corpus text: one sentence per line, blank line between documents
+    text_path = os.path.join(pre_dir, "corpus.txt")
+    os.makedirs(pre_dir, exist_ok=True)
+    with open(os.path.join(assets["data_dir"], "train.jsonl")) as f, \
+            open(text_path, "w") as out:
+        for line in f:
+            row = _json.loads(line)
+            for s in row["sentences"]:
+                out.write(s + "\n")
+            out.write("\n")
+    run_pretrain_mlm.main([
+        "--train_file", text_path,
+        "--output_dir", pre_dir,
+        "--vocab_file", assets["vocab"],
+        "--max_seq_length", str(hp.max_seq_length),
+        "--hidden_size", str(hp.hidden),
+        "--num_hidden_layers", str(TEACHER_LAYERS),
+        "--num_attention_heads", str(hp.heads),
+        "--intermediate_size", str(hp.intermediate),
+        "--num_train_epochs", str(pretrain_epochs),
+        "--learning_rate", str(pretrain_lr),
+        "--seed", str(hp.seed),
+    ])
+    return model_dir
+
+
 def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
               student_lr: float = 5e-4, hid_weight: float = 0.0,
-              depths=STUDENT_DEPTHS, serving_eval: bool = False) -> dict:
+              depths=STUDENT_DEPTHS, serving_eval: bool = False,
+              pretrain_epochs: float = 0.0,
+              pretrain_lr: float = 1e-4) -> dict:
     import jax.numpy as jnp
 
     from spokennlp_tpu.configs import TopicSegConfig, WindowingConfig
@@ -304,6 +350,12 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
     from transformers import BertTokenizer
 
     assets = build_assets(workdir, hp)
+    if pretrain_epochs > 0:
+        pre_model = _pretrain_trunk(workdir, assets, hp, pretrain_epochs,
+                                    pretrain_lr)
+        assets = {**assets, "model_dir": pre_model,
+                  "vocab_file": assets["vocab"],
+                  "tokenizer_dir": assets["model_dir"]}
 
     # 12-layer teacher through the real CLI (saves final_model); an
     # existing final_model is reused (re-running the stage to iterate on
@@ -314,7 +366,8 @@ def stage_jax(workdir: str, hp, kd_weight: float, kd_temp: float,
     else:
         teacher_metrics = parity_e2e.run_jax(assets, hp)
 
-    tok = BertTokenizer.from_pretrained(assets["model_dir"])
+    tok = BertTokenizer.from_pretrained(
+        assets.get("tokenizer_dir", assets["model_dir"]))
     tokenize_fn = lambda s: tok(s, add_special_tokens=False)["input_ids"]
     splits = load_dataset_splits("wiki_section", assets["data_dir"])
     train_docs = tokenize_examples(splits["train"], tokenize_fn)
@@ -696,6 +749,13 @@ def main():
     ap.add_argument("--serving_eval", action="store_true",
                     help="stage jax: also evaluate teacher+students through "
                     "the W8A8 fused serving path (TPU only)")
+    ap.add_argument("--pretrain_epochs", type=float, default=0.0,
+                    help="stage jax: MLM+NSP pretrain the trunk on the "
+                    "harness corpus first, then finetune the teacher from "
+                    "it (the reference's pretrained-trunk regime; required "
+                    "at full width — from-scratch h=768 collapses, see "
+                    "_pretrain_trunk)")
+    ap.add_argument("--pretrain_lr", type=float, default=1e-4)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -727,7 +787,9 @@ def main():
                   if args.depths else STUDENT_DEPTHS)
         stage_jax(args.workdir, hp, args.kd_weight, args.kd_temp,
                   student_lr=args.student_lr, hid_weight=args.hid_weight,
-                  depths=depths, serving_eval=args.serving_eval)
+                  depths=depths, serving_eval=args.serving_eval,
+                  pretrain_epochs=args.pretrain_epochs,
+                  pretrain_lr=args.pretrain_lr)
     elif args.stage == "emit_multi":
         assert args.workdirs, "--workdirs required for emit_multi"
         stage_emit_multi(args.workdirs.split(","), args.gate, args.out)

@@ -742,6 +742,10 @@ def run_jax(assets, hp: HP):
         "--ts_score_predictor_cos_temp", str(hp.cos_temp),
         "--dtype", "float32",
     ]
+    if assets.get("vocab_file"):
+        # model_dir is a native checkpoint (e.g. an MLM-pretrained trunk)
+        # with no tokenizer files; resolve the tokenizer from the vocab
+        argv += ["--vocab_file", assets["vocab_file"]]
     res = run_finetune.main(argv)
     return {
         "f1": res["eval_f1"],
