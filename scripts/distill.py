@@ -297,11 +297,12 @@ def _pretrain_trunk(workdir: str, assets, hp, pretrain_epochs: float,
     """MLM+NSP pretrain the trunk on the harness corpus, then let the
     teacher FINETUNE from it — the reference's actual regime (its quality
     numbers all start from pretrained checkpoints; run_finetune.sh:14 uses
-    lr 5e-5 on longformer_base). Measured necessity at full width: a
-    from-scratch h=768/12L trunk stays at the all-O collapse through 300
-    epochs across lr {5e-4, 2e-3} x w0 {0.5, 0.7} x warmup {0, 0.1} x
-    attention_impl {fused, einsum}, while h<=256 learns — see
-    ROUND1_NOTES.md round-5 notes."""
+    lr 5e-5 on longformer_base). Measured necessity at the serving shape:
+    from-scratch 12L trunks at seq 512 stay at the all-O collapse through
+    150-300 epochs for h in {256, 768} across lr {5e-4, 2e-3} x w0
+    {0.5, 0.7} x warmup {0, 0.1} x attention_impl {fused, einsum} x
+    aux-losses {on, off}, while the h=64/seq=128 harness shape learns to
+    F1 1.0 on the same corpus — see ROUND1_NOTES.md round-5 notes."""
     import json as _json
 
     from spokennlp_tpu.cli import run_pretrain_mlm
