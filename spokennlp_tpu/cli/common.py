@@ -124,6 +124,8 @@ def resolve_tokenizer(args) -> Tuple[Callable[[str], List[int]], dict]:
                 "sep": tok.sep_token_id if tok.sep_token_id is not None else 102,
                 "vocab_size": len(tok),
             }
+            if tok.mask_token_id is not None:
+                special["mask"] = tok.mask_token_id
             return (lambda s: tok(s, add_special_tokens=False)["input_ids"]), special
         except Exception:
             pass
@@ -140,10 +142,13 @@ def resolve_tokenizer(args) -> Tuple[Callable[[str], List[int]], dict]:
             "sep": vocab.get("[SEP]", min(102, len(vocab) - 1)),
             "vocab_size": len(vocab),
         }
+        if "[MASK]" in vocab:
+            special["mask"] = vocab["[MASK]"]
         return tok.encode, special
     # fallback hash tokenizer (smoke tests without vocab assets)
     V = 30522
-    special = {"cls": 101, "pad": 0, "bos": 1, "sep": 102, "vocab_size": V}
+    special = {"cls": 101, "pad": 0, "bos": 1, "sep": 102, "mask": 103,
+               "vocab_size": V}
 
     def hash_tokenize(s: str) -> List[int]:
         return [1000 + (hash(w) % (V - 1100)) for w in s.split()] or [1000]

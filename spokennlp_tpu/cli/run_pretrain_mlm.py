@@ -100,6 +100,12 @@ def main(argv=None):
         pad_token_id=special["pad"],
         mask_token_id=special.get("mask", 103),
     )
+    # an out-of-vocab mask id silently NaNs training (OOB embedding gather;
+    # found the hard way when a [MASK]-less specials dict defaulted to 103
+    # against an 88-entry vocab)
+    assert dcfg.mask_token_id < special["vocab_size"], (
+        f"mask token id {dcfg.mask_token_id} outside vocab "
+        f"{special['vocab_size']} — tokenizer must define [MASK]")
     docs = load_documents(args.train_file, tokenize_fn)
     assert docs, "no >=2-sentence documents in the corpus"
 
